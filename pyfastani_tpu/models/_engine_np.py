@@ -1,0 +1,430 @@
+"""Trusted host (NumPy) implementation of the full FastANI pipeline.
+
+This is the semantic reference of the framework: every stage reproduces
+the observable behavior of pyfastani/FastANI, reconstructed from
+``/root/reference/src/pyfastani/_fastani.pyx`` (winnowing ``:156-309``,
+L1 ``:885-954``, query driver ``:1006-1136``) and the declared C++ API
+(``include/fastani/**``, internals reconstructed from Jain et al. 2018 and
+pinned by the reference golden tests).  The JAX/TPU engine is validated
+against this module, and this module is validated against the on-disk
+protein golden test plus a literal deque-port oracle.
+
+Array conventions (structure-of-arrays everywhere):
+* minimizers: ``(hash u32, seq_id i32, wpos i32)`` in emission order, which
+  is (contig, window) order -- exactly the order ``searchIndex`` binary
+  searches ([reconstructed] ``winSketch.hpp``: the index never re-sorts).
+* posting index: CSR over hash-sorted copies of the same minimizers
+  (stable sort, so each posting row keeps (seq, wpos) order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import stats
+from ..ops import winnow as winnow_ops
+from ._params import Parameters
+
+__all__ = ["winnow_sequence", "PostingIndex", "build_index", "query_genome_np"]
+
+INT_MAX = 2**31 - 1
+
+
+def winnow_sequence(data: np.ndarray, params: Parameters) -> tuple[np.ndarray, np.ndarray]:
+    """Winnow one uppercased uint8 sequence; return (hashes u32, wpos i32).
+
+    Caller is responsible for the min-length checks and seq-id assignment.
+    """
+    k, w = params.kmer_size, params.window_size
+    n = int(data.shape[0])
+    n_pos = n - k + 1
+    if n_pos < 1 or n_pos - w + 1 < 1:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32))
+    with np.errstate(over="ignore"):
+        padded = np.concatenate([data, np.zeros(4, dtype=np.uint8)])
+        if params.alphabet_size == 4:
+            canon, valid = winnow_ops.nucl_canonical(np, padded, n, k, n_pos)
+        else:
+            canon, valid = winnow_ops.prot_hashes(np, padded, n, k, n_pos)
+        record, win_hash = winnow_ops.winnow(np, canon, valid, w)
+    wpos = np.flatnonzero(record).astype(np.int32)
+    return win_hash[record], wpos
+
+
+@dataclasses.dataclass
+class PostingIndex:
+    """CSR posting index + position-ordered minimizer store.
+
+    Equivalent of ``skch::Sketch`` after ``index()`` + ``computeFreqHist()``
+    (``win_sketch.pxd:17-42``): ``minimizerPosLookupIndex`` becomes
+    (uniq_hash, row_start, row_len) over hash-sorted postings;
+    ``freqThreshold`` is computed from the row-length histogram.
+    """
+
+    # position-ordered minimizer store (the reference's minimizerIndex)
+    mini_hash: np.ndarray  # u32 (M,)
+    mini_seqid: np.ndarray  # i32 (M,)
+    mini_wpos: np.ndarray  # i32 (M,)
+    # CSR posting lists, grouped by hash
+    uniq_hash: np.ndarray  # u32 (U,) ascending
+    row_start: np.ndarray  # i64 (U,)
+    row_len: np.ndarray  # i32 (U,)
+    post_seqid: np.ndarray  # i32 (M,)
+    post_wpos: np.ndarray  # i32 (M,)
+    freq_threshold: int
+
+    @property
+    def n_minimizers(self) -> int:
+        return int(self.mini_hash.shape[0])
+
+    @property
+    def n_unique(self) -> int:
+        return int(self.uniq_hash.shape[0])
+
+
+def compute_freq_threshold(row_len: np.ndarray) -> int:
+    """[reconstructed ``winSketch.hpp::computeFreqHist``]: ignore the most
+    frequent ~0.001% of minimizers.  The histogram walk keeps lowering the
+    threshold while the cumulative count stays *below* the ignore budget,
+    includes the boundary bucket on exact equality, and leaves INT_MAX
+    (no filtering) when the very first bucket overshoots."""
+    total_unique = row_len.shape[0]
+    if total_unique == 0:
+        return INT_MAX
+    # int64 * float -> C promotes to float (binary32): emulate
+    to_ignore = int(
+        np.float32(np.float32(total_unique) * np.float32(0.001) / np.float32(100.0))
+    )
+    freqs, counts = np.unique(row_len, return_counts=True)
+    threshold = INT_MAX
+    acc = 0
+    for f, c in zip(freqs[::-1], counts[::-1]):
+        acc += int(c)
+        if acc < to_ignore:
+            threshold = int(f)
+        elif acc == to_ignore:
+            threshold = int(f)
+            break
+        else:
+            break
+    return threshold
+
+
+def build_index(
+    mini_hash: np.ndarray, mini_seqid: np.ndarray, mini_wpos: np.ndarray
+) -> PostingIndex:
+    """Sort-based CSR construction of the posting index."""
+    order = np.argsort(mini_hash, kind="stable")
+    sorted_hash = mini_hash[order]
+    post_seqid = mini_seqid[order]
+    post_wpos = mini_wpos[order]
+    uniq_hash, first_idx, counts = np.unique(
+        sorted_hash, return_index=True, return_counts=True
+    )
+    uniq_hash = uniq_hash.astype(np.uint32)
+    row_start = first_idx.astype(np.int64)
+    row_len = counts.astype(np.int32)
+    return PostingIndex(
+        mini_hash=mini_hash,
+        mini_seqid=mini_seqid,
+        mini_wpos=mini_wpos,
+        uniq_hash=uniq_hash,
+        row_start=row_start,
+        row_len=row_len,
+        post_seqid=post_seqid,
+        post_wpos=post_wpos,
+        freq_threshold=compute_freq_threshold(row_len),
+    )
+
+
+# --- L1: candidate regions ---------------------------------------------------
+
+
+def _l1_candidates(
+    q_uniq: np.ndarray,
+    index: PostingIndex,
+    params: Parameters,
+    min_hits: int,
+):
+    """[reconstructed ``computeMap.hpp::computeL1CandidateRegions``] +
+    the posting probes of ``Mapper._do_l1_mappings``
+    (``_fastani.pyx:941-952``).
+
+    Returns merged candidate intervals (seq_id, c0, c1) arrays.
+    """
+    l = params.min_read_length
+    # probe the CSR index; skip rows at/above the frequency threshold
+    pos = np.searchsorted(index.uniq_hash, q_uniq)
+    found = pos < index.n_unique
+    posc = np.minimum(pos, max(index.n_unique - 1, 0))
+    found &= index.uniq_hash[posc] == q_uniq
+    rows = posc[found]
+    rows = rows[index.row_len[rows] < index.freq_threshold]
+    if rows.size == 0:
+        return (np.zeros(0, np.int32),) * 3
+
+    # gather whole posting rows
+    lens = index.row_len[rows].astype(np.int64)
+    starts = index.row_start[rows]
+    total = int(lens.sum())
+    out_off = np.repeat(np.cumsum(lens) - lens, lens)
+    flat = np.arange(total, dtype=np.int64) - out_off + np.repeat(starts, lens)
+    hit_seq = index.post_seqid[flat]
+    hit_pos = index.post_wpos[flat]
+
+    # sort by (seqId, wpos)
+    order = np.lexsort((hit_pos, hit_seq))
+    hit_seq = hit_seq[order]
+    hit_pos = hit_pos[order]
+
+    m = max(int(min_hits), 1)
+    H = hit_seq.shape[0]
+    if H < m:
+        return (np.zeros(0, np.int32),) * 3
+    j = np.arange(H - m + 1)
+    j2 = j + m - 1
+    ok = (hit_seq[j2] == hit_seq[j]) & (hit_pos[j2] - hit_pos[j] < l)
+    if not ok.any():
+        return (np.zeros(0, np.int32),) * 3
+    cand_seq = hit_seq[j][ok]
+    cand_start = np.maximum(0, hit_pos[j2][ok] - l + 1).astype(np.int32)
+    cand_end = hit_pos[j][ok].astype(np.int32)
+
+    # merge overlapping candidates (ends are non-decreasing per seq run)
+    new = np.ones(cand_seq.shape[0], dtype=bool)
+    new[1:] = (cand_seq[1:] != cand_seq[:-1]) | (cand_start[1:] > cand_end[:-1])
+    iv_id = np.cumsum(new) - 1
+    n_iv = int(iv_id[-1]) + 1
+    iv_seq = cand_seq[new]
+    iv_start = cand_start[new]
+    iv_end = np.zeros(n_iv, dtype=np.int32)
+    np.maximum.at(iv_end, iv_id, cand_end)
+    return iv_seq, iv_start, iv_end
+
+
+# --- L2: sliding union-sketch intersection ----------------------------------
+
+
+def _l2_shared_curve(
+    q_uniq: np.ndarray,
+    rh: np.ndarray,
+    rp: np.ndarray,
+    c0: int,
+    c1: int,
+    cmw: int,
+):
+    """shared sketch size for every window offset c in [c0, c1].
+
+    Winnowed-minhash estimator ([reconstructed ``slidingMap.hpp``]): at
+    offset c, among the ``s`` smallest distinct hashes of
+    Sq ∪ {ref window hashes}, count those present in both sets.
+
+    Dense matmul formulation (the TPU shape of the computation): membership
+    matrix (offsets × ref minis) contracted against per-hash rank masks.
+    """
+    s = int(q_uniq.shape[0])
+    C = c1 - c0 + 1
+    if rh.shape[0] == 0 or s == 0:
+        return np.zeros(C, dtype=np.int32)
+
+    # sort interval minis by (hash, pos); same-hash runs are consecutive
+    order = np.lexsort((rp, rh))
+    rh = rh[order]
+    rp = rp[order]
+    R = rh.shape[0]
+
+    qrank = np.searchsorted(q_uniq, rh).astype(np.int64)
+    in_q = (qrank < s) & (q_uniq[np.minimum(qrank, s - 1)] == rh)
+
+    c = np.arange(c0, c1 + 1, dtype=np.int64)[:, None]
+    in_win = (rp[None, :] >= c) & (rp[None, :] < c + cmw)  # (C, R)
+
+    i_idx = np.arange(s, dtype=np.int64)[None, :]
+    # A[j, i] = 1 iff ref mini j is ref-only and h_j < q_i
+    A = (~in_q)[:, None] & (i_idx >= qrank[:, None])  # (R, s)
+    # P[j, i] = 1 iff ref mini j realizes query hash i
+    P = in_q[:, None] & (i_idx == qrank[:, None])  # (R, s)
+
+    in_win_f = in_win.astype(np.float32)
+    below = in_win_f @ A.astype(np.float32)  # non-distinct ref-only below q_i
+    if R > 1:
+        same_next = rh[:-1] == rh[1:]
+        pair = in_win[:, :-1] & in_win[:, 1:] & same_next[None, :]
+        below -= pair.astype(np.float32) @ A[:-1].astype(np.float32)
+    present = (in_win_f @ P.astype(np.float32)) >= 1.0  # q_i in ref window
+
+    rank_ok = (i_idx.astype(np.float32) + below) < np.float32(s)
+    return (present & rank_ok).sum(axis=1).astype(np.int32)
+
+
+def _search_pos(index: PostingIndex, seq_id: int, wpos: int) -> int:
+    """``Sketch::searchIndex``: lower bound on (seqId, wpos) in the
+    position-ordered minimizer store."""
+    key = np.int64(seq_id) << 32 | np.int64(np.uint32(np.int64(wpos)))
+    keys = (index.mini_seqid.astype(np.int64) << 32) | index.mini_wpos.astype(
+        np.int64
+    )
+    return int(np.searchsorted(keys, key, side="left"))
+
+
+@dataclasses.dataclass
+class Mapping:
+    """The subset of ``skch::MappingResult`` consumed by computeCGI."""
+
+    query_seq_id: int
+    ref_seq_id: int
+    ref_start: int
+    shared: int
+    sketch_size: int
+    identity: float  # float32 semantics
+
+
+def _map_fragment(
+    frag: np.ndarray,
+    query_seq_id: int,
+    index: PostingIndex,
+    params: Parameters,
+    out: list,
+):
+    """Map one fragment: winnow, sketch, L1, L2, identity gate.
+
+    Mirrors ``Mapper._query_fragment`` (``_fastani.pyx:956-1004``) plus
+    [reconstructed] ``doL2Mapping``/``computeL2MappedRegions``.
+    """
+    mh, _ = winnow_sequence(frag, params)
+    if mh.shape[0] == 0:
+        return
+    q_uniq = np.unique(mh)  # sorted unique hashes = the fragment sketch
+    s = int(q_uniq.shape[0])
+
+    min_hits = stats.estimate_minimum_hits_relaxed(
+        s, params.kmer_size, params.percentage_identity
+    )
+    iv_seq, iv_start, iv_end = _l1_candidates(q_uniq, index, params, min_hits)
+    if iv_seq.shape[0] == 0:
+        return
+
+    l = params.min_read_length
+    cmw = l - (params.window_size - 1) - (params.kmer_size - 1)
+    for t in range(iv_seq.shape[0]):
+        sid, c0, c1 = int(iv_seq[t]), int(iv_start[t]), int(iv_end[t])
+        lo = _search_pos(index, sid, c0)
+        hi = _search_pos(index, sid, c1 + cmw)
+        shared = _l2_shared_curve(
+            q_uniq, index.mini_hash[lo:hi], index.mini_wpos[lo:hi], c0, c1, cmw
+        )
+        best = int(shared.max(initial=0))
+        if best <= 0:
+            continue
+        argmax = int(np.argmax(shared))  # first offset achieving the max
+        last = int(np.flatnonzero(shared == best)[-1])
+        mean_optimal = (c0 + argmax + c0 + last) // 2
+
+        # identity + CI gate (doL2Mapping [reconstructed])
+        jaccard = 1.0 * best / s
+        mash = stats.j2md(jaccard, params.kmer_size)
+        identity = float(np.float32(100.0 * (1.0 - mash)))
+        d_lower = stats.md_lower_bound(
+            mash, s, params.kmer_size, stats.CONFIDENCE_INTERVAL
+        )
+        identity_ub = float(np.float32(100.0 * (1.0 - d_lower)))
+        if np.float32(identity_ub) >= np.float32(params.percentage_identity):
+            out.append(
+                Mapping(
+                    query_seq_id=query_seq_id,
+                    ref_seq_id=sid,
+                    ref_start=mean_optimal,
+                    shared=best,
+                    sketch_size=s,
+                    identity=identity,
+                )
+            )
+
+
+# --- CGI: reciprocal-best aggregation ---------------------------------------
+
+
+def compute_cgi(
+    mappings: list,
+    sequences_by_file: np.ndarray,
+    total_fragments: int,
+    params: Parameters,
+):
+    """[reconstructed ``cgi::computeCGI``]: map contig ids to genome ids,
+    bin reference positions by fragment length, keep the best-identity
+    mapping per (genome, query fragment), then per (ref contig, ref bin),
+    and average identities per genome.
+
+    Returns list of (ref_genome_id, count_seq, identity_f32) in genome order.
+    """
+    if not mappings:
+        return []
+    l = params.min_read_length
+    qseq = np.array([m.query_seq_id for m in mappings], dtype=np.int64)
+    rseq = np.array([m.ref_seq_id for m in mappings], dtype=np.int64)
+    rstart = np.array([m.ref_start for m in mappings], dtype=np.int64)
+    ident = np.array([m.identity for m in mappings], dtype=np.float32)
+    rbin = rstart // l
+    genome = np.searchsorted(sequences_by_file, rseq, side="right")
+
+    # 1. best per (genome, query fragment): stable ascending sort, keep last
+    o1 = np.lexsort((ident, qseq, genome))
+    g1, q1 = genome[o1], qseq[o1]
+    is_last = np.ones(o1.shape[0], dtype=bool)
+    is_last[:-1] = (g1[1:] != g1[:-1]) | (q1[1:] != q1[:-1])
+    keep1 = o1[is_last]
+
+    # 2. best per (ref contig, ref position bin) among the survivors
+    r2, b2, i2 = rseq[keep1], rbin[keep1], ident[keep1]
+    o2 = np.lexsort((i2, b2, r2))
+    r2s, b2s = r2[o2], b2[o2]
+    is_last2 = np.ones(o2.shape[0], dtype=bool)
+    is_last2[:-1] = (r2s[1:] != r2s[:-1]) | (b2s[1:] != b2s[:-1])
+    keep2 = keep1[o2[is_last2]]  # ordered by (ref contig, bin)
+
+    # 3. per-genome mean identity; groups are already genome-ordered since
+    # genome id is monotone in ref contig id
+    g3 = genome[keep2]
+    i3 = ident[keep2]
+    results = []
+    for gid in np.unique(g3):
+        sel = i3[g3 == gid]
+        # sequential float32 accumulation, mirroring the C float sum
+        acc = np.cumsum(sel.astype(np.float32), dtype=np.float32)[-1]
+        results.append(
+            (int(gid), int(sel.shape[0]), float(np.float32(acc / np.float32(sel.shape[0]))))
+        )
+    return results
+
+
+# --- whole-genome query ------------------------------------------------------
+
+
+def query_contigs_np(
+    contig_arrays: list,
+    index: PostingIndex,
+    params: Parameters,
+):
+    """Run the full per-genome query pipeline on uint8 contig arrays.
+
+    Returns (mappings, total_fragments, total_length).
+    Mirrors ``Mapper._query_draft`` (``_fastani.pyx:1006-1118``); the
+    thread-pool fragment fan-out becomes a plain loop here and a batched
+    device axis in the JAX engine.
+    """
+    l = params.min_read_length
+    mappings: list = []
+    total_fragments = 0
+    total_length = 0
+    for data in contig_arrays:
+        slen = int(data.shape[0])
+        n_frag = slen // l
+        for i in range(n_frag):
+            _map_fragment(
+                data[i * l : (i + 1) * l], total_fragments + i, index, params, mappings
+            )
+        total_fragments += n_frag
+        total_length += slen
+    return mappings, total_fragments, total_length

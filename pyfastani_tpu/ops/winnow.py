@@ -1,0 +1,190 @@
+"""Vectorized minimizer winnowing (``skch::CommonFunc::addMinimizers``).
+
+The reference winnows with a monotone deque, one k-mer at a time
+(``/root/reference/src/pyfastani/_fastani.pyx:156-309``).  Its exact
+observable semantics, reproduced here as data-parallel array ops:
+
+* k-mers whose forward Murmur hash equals the reverse-complement hash
+  ("palindromic") are skipped entirely -- they enter neither the queue nor
+  the window accounting, and *no window is evaluated at a step whose
+  current k-mer is palindromic* (the whole loop body is inside the
+  ``hash_bwd != hash_fwd`` branch, ``_fastani.pyx:202-222``);
+* the canonical hash is ``min(fwd, bwd)`` (``:206``);
+* for an evaluated window ``p`` (i.e. k-mer ``i = p + w - 1`` is valid and
+  ``p >= 0``), the minimizer is the valid k-mer in ``[p, p + w)`` with the
+  smallest hash, ties resolved to the *latest* position (inserting pops
+  ``>=`` from the back, ``:211``);
+* a record ``(hash, seqId, wpos=p)`` is appended when the chosen
+  *occurrence* differs from the previously evaluated window's choice
+  (``:219-222``), with one bug-compatible quirk: the dedup compares
+  against the queue element's mutable ``wpos`` field (0 until recorded),
+  so when the first record of a contig lands at window 0, subsequent
+  *equal-hash* occurrence changes are suppressed until a different hash is
+  recorded (both sides of the comparison read ``(hash, seqId, 0)``).
+
+The sliding window minimum uses the log-doubling trick (O(log w) shifted
+elementwise min steps); dedup and the suppression quirk are prefix scans.
+Everything is shape-static given (padded length, k, w), so the same code
+traces under ``jax.jit`` and runs eagerly under NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codec import complement_table
+from .murmur3 import kmer_hashes
+
+__all__ = ["nucl_canonical", "prot_hashes", "winnow"]
+
+_HASH_SENTINEL = 0xFFFFFFFF
+
+
+def _is_numpy(xp) -> bool:
+    return xp is np
+
+
+def _cummax(xp, x):
+    if _is_numpy(xp):
+        return np.maximum.accumulate(x)
+    import jax.lax
+
+    return jax.lax.cummax(x)
+
+
+def _cumall(xp, x_bool):
+    if _is_numpy(xp):
+        return np.minimum.accumulate(x_bool.astype(np.int32)).astype(bool)
+    import jax.lax
+
+    return jax.lax.cummin(x_bool.astype("int32")).astype(bool)
+
+
+def nucl_canonical(xp, data, n: int, k: int, n_positions: int):
+    """Canonical nucleotide k-mer hashes and validity for every position.
+
+    Args:
+        xp: numpy or jax.numpy.
+        data: uppercased uint8 sequence, padded to static length ``L_pad``
+            (``L_pad >= n_positions + k - 1 + 4``).
+        n: actual sequence length (python int or traced scalar).
+        k: k-mer size (static).
+        n_positions: static number of k-mer positions to emit
+            (>= n - k + 1 for full coverage).
+
+    Returns:
+        (canon, valid): uint32 hashes and bool mask, length ``n_positions``.
+        Positions past ``n - k`` are invalid.
+    """
+    lut = complement_table()
+    if _is_numpy(xp):
+        comp = lut[data]
+        rc = comp[::-1]
+        L_pad = data.shape[0]
+        rc = np.roll(rc, -(L_pad - n))
+    else:
+        import jax.numpy as jnp
+
+        comp = jnp.take(jnp.asarray(lut), data.astype(jnp.int32))
+        rc = comp[::-1]
+        L_pad = data.shape[0]
+        rc = jnp.roll(rc, -(L_pad - n))
+
+    fwd = kmer_hashes(xp, data, k, out_len=n_positions)
+    rc_hash = kmer_hashes(xp, rc, k, out_len=n_positions)
+
+    # bwd hash of position i is the hash of rc at mirrored position n-k-i
+    idx = xp.arange(n_positions, dtype=xp.int32)
+    mirror = (xp.int32(n) - xp.int32(k)) - idx
+    in_range = (mirror >= 0) & (mirror < n_positions)
+    mirror_c = xp.clip(mirror, 0, n_positions - 1)
+    bwd = xp.where(in_range, rc_hash[mirror_c], xp.uint32(0))
+
+    pos_ok = idx <= xp.int32(n) - xp.int32(k)
+    valid = pos_ok & (fwd != bwd)
+    canon = xp.minimum(fwd, bwd)
+    return canon, valid
+
+
+def prot_hashes(xp, data, n: int, k: int, n_positions: int):
+    """Forward-only hashes + validity (protein path, ``_fastani.pyx:252-309``)."""
+    fwd = kmer_hashes(xp, data, k, out_len=n_positions)
+    idx = xp.arange(n_positions, dtype=xp.int32)
+    valid = idx <= xp.int32(n) - xp.int32(k)
+    return fwd, valid
+
+
+def _shift_left(xp, arr, d: int, fill):
+    if d == 0:
+        return arr
+    pad = xp.full((d,), fill, dtype=arr.dtype)
+    return xp.concatenate([arr[d:], pad])
+
+
+def _pair_min(xp, h_a, p_a, h_b, p_b):
+    """(hash, pos) min: smaller hash wins; equal hash -> larger pos wins."""
+    take_b = (h_b < h_a) | ((h_b == h_a) & (p_b > p_a))
+    return xp.where(take_b, h_b, h_a), xp.where(take_b, p_b, p_a)
+
+
+def winnow(xp, canon, valid, w: int):
+    """Evaluate every window and flag which records a minimizer.
+
+    Args:
+        canon: uint32 canonical hashes, length ``N`` (padded ok).
+        valid: bool mask, same length.
+        w: window size (static python int, >= 1).
+
+    Returns:
+        (record, win_hash) of length ``P = N - w + 1``:
+        ``record[p]`` -- this window appends ``(win_hash[p], wpos=p)``.
+    """
+    N = canon.shape[0]
+    P = N - w + 1
+    if P <= 0:
+        z = xp.zeros((0,), dtype=bool)
+        return z, xp.zeros((0,), dtype=xp.uint32)
+
+    pos = xp.arange(N, dtype=xp.uint32)
+    g_h = xp.where(valid, canon, xp.uint32(_HASH_SENTINEL))
+    # invalid entries carry pos 0 so a (real) sentinel-valued hash beats them
+    g_p = xp.where(valid, pos, xp.uint32(0))
+
+    # log-doubling sliding minimum: g covers windows of size `size`
+    size = 1
+    while size * 2 <= w:
+        sh = _shift_left(xp, g_h, size, _HASH_SENTINEL)
+        sp = _shift_left(xp, g_p, size, 0)
+        g_h, g_p = _pair_min(xp, g_h, g_p, sh, sp)
+        size *= 2
+    rem = w - size
+    sh = _shift_left(xp, g_h, rem, _HASH_SENTINEL)
+    sp = _shift_left(xp, g_p, rem, 0)
+    win_h, win_p = _pair_min(xp, g_h, g_p, sh, sp)
+    win_h = win_h[:P]
+    win_p = win_p[:P]
+
+    # window p is evaluated iff its last k-mer (p + w - 1) is valid
+    evaluated = valid[w - 1 : w - 1 + P]
+
+    # previous evaluated window index (-1 if none)
+    idx = xp.arange(P, dtype=xp.int32)
+    marked = xp.where(evaluated, idx, xp.int32(-1))
+    prev = xp.concatenate([xp.full((1,), -1, dtype=xp.int32), _cummax(xp, marked)[:-1]])
+    prev_c = xp.clip(prev, 0, P - 1)
+    prev_pos = win_p[prev_c]
+    first_eval = prev < 0
+
+    is_new = evaluated & (first_eval | (win_p != prev_pos))
+
+    # window-0 suppression quirk: if the contig's first evaluated window is
+    # p == 0, equal-hash occurrence changes are swallowed while every
+    # evaluated window so far carried the same hash h0.
+    first_is_zero = evaluated[0]
+    h0 = win_h[0]
+    same_h0 = (~evaluated) | (win_h == h0)
+    prefix_ok = _cumall(xp, same_h0)
+    suppress = first_is_zero & (idx > 0) & prefix_ok
+
+    record = is_new & ~suppress
+    return record, win_h

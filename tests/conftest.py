@@ -1,0 +1,20 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding is tested on the host platform (the driver dry-runs
+the real multi-chip path separately); set PYFASTANI_TPU_TEST_TPU=1 to run
+the suite against real devices instead.
+"""
+
+import os
+
+if not os.environ.get("PYFASTANI_TPU_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
