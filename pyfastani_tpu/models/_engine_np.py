@@ -369,14 +369,23 @@ def compute_cgi(
     rbin = rstart // l
     genome = np.searchsorted(sequences_by_file, rseq, side="right")
 
-    # 1. best per (genome, query fragment): stable ascending sort, keep last
+    # 1. best per (genome, query fragment).  The reference keeps a single
+    # winner, with exact-identity ties resolved by std::sort instability
+    # (its mapping order is thread-pool nondeterministic); we keep ALL tied
+    # winners so the result is order-independent (see KNOWN_DEVIATIONS.md).
     o1 = np.lexsort((ident, qseq, genome))
-    g1, q1 = genome[o1], qseq[o1]
-    is_last = np.ones(o1.shape[0], dtype=bool)
-    is_last[:-1] = (g1[1:] != g1[:-1]) | (q1[1:] != q1[:-1])
-    keep1 = o1[is_last]
+    g1, q1, i1 = genome[o1], qseq[o1], ident[o1]
+    grp_last = np.ones(o1.shape[0], dtype=bool)
+    grp_last[:-1] = (g1[1:] != g1[:-1]) | (q1[1:] != q1[:-1])
+    # propagate each group's max identity backwards over the group
+    grp_id = np.cumsum(np.concatenate([[True], grp_last[:-1]])) - 1
+    grp_max = np.zeros(int(grp_id[-1]) + 1, dtype=np.float32)
+    np.maximum.at(grp_max, grp_id, i1)
+    keep1 = o1[i1 == grp_max[grp_id]]
 
-    # 2. best per (ref contig, ref position bin) among the survivors
+    # 2. best per (ref contig, ref position bin) among the survivors; one
+    # entry per bin (tied winners share the identity value, so the choice
+    # does not affect the output)
     r2, b2, i2 = rseq[keep1], rbin[keep1], ident[keep1]
     o2 = np.lexsort((i2, b2, r2))
     r2s, b2s = r2[o2], b2[o2]
