@@ -34,6 +34,13 @@ class Record:
 class Parser:
     """An iterator over the records of an (uncompressed) FASTA file."""
 
+    def __new__(cls, path: str):
+        from . import _native
+
+        if _native.HAVE_NATIVE:
+            return _NativeParser(path)
+        return super().__new__(cls)
+
     def __init__(self, path: str):
         self._file = open(path, "rb")
         self._line = self._file.readline(_LINE_BUFFER)
@@ -73,4 +80,27 @@ class Parser:
 
         raw = b"".join(chunks)
         seq = upper_inplace(np.frombuffer(raw, dtype=np.uint8)).tobytes()
+        return Record(record_id, seq)
+
+
+class _NativeParser:
+    """Iterator facade over the C extension's batch FASTA reader."""
+
+    def __init__(self, path: str):
+        from . import _native
+
+        with open(path, "rb") as f:
+            first = f.read(1)
+        if first != b">":
+            # parity with the line-oriented parser: no leading header,
+            # no records (it stops at the first non-header line)
+            self._records = iter(())
+        else:
+            self._records = iter(_native.parse_fasta(path))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        record_id, seq = next(self._records)
         return Record(record_id, seq)

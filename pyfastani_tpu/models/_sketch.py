@@ -258,6 +258,10 @@ class Sketch(_Parameterized):
     # --- methods -------------------------------------------------------------
 
     def _winnow(self, data: np.ndarray):
+        if self._backend == "jax":
+            from . import _engine_jax
+
+            return _engine_jax.winnow_sequence_device(data, self._param)
         return np_engine.winnow_sequence(data, self._param)
 
     def _add_draft(self, name, contigs):
