@@ -1,0 +1,102 @@
+"""Benchmark: query throughput of the TPU ANI engine on synthetic genomes.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: reference pyfastani v0.6.0 CPU benchmark -- mean single-genome
+query wall time 1.45 s at 12 threads over 50 proGenomes bacterial genomes
+of mean 6.25 Mbp (``/root/reference/benches/mapping/v0.6.0.json``,
+hardware ``README.md:148-152``), i.e. ~4.3 Mbp/s of query sequence.
+``vs_baseline`` is this engine's query Mbp/s divided by 4.3.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# keep XLA compiles cached across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pyfastani_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+BASELINE_MBP_S = 4.3
+
+N_REFS = int(os.environ.get("BENCH_REFS", "10"))
+REF_LEN = int(os.environ.get("BENCH_REF_LEN", "2000000"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4"))
+MUT_RATE = 0.03
+
+
+def _genomes():
+    rng = np.random.default_rng(0)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs = [rng.choice(alphabet, size=REF_LEN).tobytes() for _ in range(N_REFS)]
+    queries = []
+    for i in range(N_QUERIES):
+        base = np.frombuffer(refs[i % N_REFS], dtype=np.uint8).copy()
+        idx = rng.random(base.shape[0]) < MUT_RATE
+        base[idx] = rng.choice(alphabet, size=int(idx.sum()))
+        queries.append(base.tobytes())
+    return refs, queries
+
+
+def main():
+    import jax
+
+    from pyfastani_tpu import Sketch
+    from pyfastani_tpu.parallel.mesh import make_mesh
+    from pyfastani_tpu.parallel.sharded import sharded_query
+
+    refs, queries = _genomes()
+
+    t0 = time.time()
+    sketch = Sketch()
+    for i, r in enumerate(refs):
+        sketch.add_genome(f"ref{i}", r)
+    mapper = sketch.index()
+    t_index = time.time() - t0
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(1, n_dev)
+
+    kwargs = dict(hmax=4096, ivmax=64, cmax=256, rmax=512, t_chunks=24)
+
+    # warmup (compile)
+    t0 = time.time()
+    hits = sharded_query(mapper, [queries[0]], mesh, **kwargs)
+    t_warm = time.time() - t0
+    assert hits, "benchmark query produced no hits"
+
+    t0 = time.time()
+    total_bp = 0
+    for q in queries:
+        hits = sharded_query(mapper, [q], mesh, **kwargs)
+        total_bp += len(q)
+    elapsed = time.time() - t0
+
+    mbp_s = total_bp / 1e6 / elapsed
+    result = {
+        "metric": "query_throughput",
+        "value": round(mbp_s, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbp_s / BASELINE_MBP_S, 3),
+        "detail": {
+            "n_refs": N_REFS,
+            "ref_len": REF_LEN,
+            "n_queries": N_QUERIES,
+            "index_s": round(t_index, 2),
+            "warmup_s": round(t_warm, 2),
+            "query_s_per_genome": round(elapsed / N_QUERIES, 3),
+            "devices": n_dev,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,503 @@
+"""Multi-chip ANI: reference-genome-sharded index + data-parallel queries.
+
+Scaling design (this is where the reference's single-host thread pool
+becomes a TPU program -- see SURVEY.md §2a):
+
+* the reference index is partitioned by **genome** across the ``shard``
+  mesh axis (the EP-style axis): each device owns a self-contained
+  sub-index (CSR posting lists + position-ordered minimizers) for a
+  disjoint set of reference genomes, padded to a common size;
+* query fragments are replicated across ``shard`` and partitioned across
+  the ``data`` axis (DP);
+* one ``shard_map`` program runs the full per-block pipeline -- device L1
+  (`ops.l1`), an L2 sliding-intersection sweep (MXU contraction inside a
+  chunk loop), the identity gate via precomputed integer tables, and a
+  dense per-bin CGI reduction merged across ``data`` with ``pmax`` -- so
+  reciprocal-best filtering is exact across fragment blocks.
+
+Positions use a 32-bit *global* coordinate (per-shard cumulative contig
+offsets) so index probes need no 64-bit keys on device.
+
+Integer outputs (matches/fragments) equal the host engine when the static
+budgets suffice; overflow is detected and reported.  Identities are
+device float32 sums and agree with the host path to summation-order
+rounding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import stats
+from ..ops.l1 import l1_candidates_device
+
+__all__ = ["ShardedIndex", "build_sharded_index", "sharded_query"]
+
+_BIG = 2**30
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """Stacked per-shard reference index arrays (leading axis = shard)."""
+
+    uniq_hash: np.ndarray  # (n, U) u32, UMAX pad
+    row_start: np.ndarray  # (n, U) i32
+    row_len: np.ndarray  # (n, U) i32
+    post_seqid: np.ndarray  # (n, M) i32
+    post_wpos: np.ndarray  # (n, M) i32
+    mini_hash: np.ndarray  # (n, M) u32 position-ordered
+    mini_wpos: np.ndarray  # (n, M) i32
+    mini_seqid: np.ndarray  # (n, M) i32
+    mini_gpos: np.ndarray  # (n, M) i32 global coords, strictly increasing
+    contig_offset: np.ndarray  # (n, C+1) i32 cumulative global offsets
+    seq_to_genome: np.ndarray  # (n, C) i32 contig -> local genome id
+    freq_threshold: np.ndarray  # (n,) i32
+    genome_names: list  # list per shard of genome names
+    genome_lengths: np.ndarray  # (n, G) i64
+    n_shards: int
+
+    @property
+    def n_contig_slots(self) -> int:
+        return int(self.seq_to_genome.shape[1])
+
+
+def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
+    """Partition a Mapper's reference set by genome into ``n_shards``
+    balanced sub-indexes (greedy bin packing by minimizer count)."""
+    from ..models import _engine_np as np_engine
+
+    idx = mapper._index
+    sbf = np.asarray(mapper._sequences_by_file, dtype=np.int64)
+    n_genomes = len(mapper._names)
+    contig_lo = np.concatenate([[0], sbf[:-1]])
+    genome_of_mini = np.searchsorted(sbf, idx.mini_seqid, side="right")
+    counts = np.bincount(genome_of_mini, minlength=n_genomes)
+
+    shard_of = np.zeros(n_genomes, dtype=np.int64)
+    loads = np.zeros(n_shards, dtype=np.int64)
+    for g in np.argsort(-counts, kind="stable"):
+        tgt = int(np.argmin(loads))
+        shard_of[g] = tgt
+        loads[tgt] += counts[g]
+
+    shards = []
+    for sh in range(n_shards):
+        genomes = np.flatnonzero(shard_of == sh)
+        mh, ms, mw = [], [], []
+        seq_to_genome = []
+        names, lengths = [], []
+        new_seq = 0
+        for li, g in enumerate(genomes):
+            sel = genome_of_mini == g
+            n_ctg = int(sbf[g] - contig_lo[g])
+            local_seq = idx.mini_seqid[sel] - contig_lo[g] + new_seq
+            mh.append(idx.mini_hash[sel])
+            ms.append(local_seq.astype(np.int32))
+            mw.append(idx.mini_wpos[sel])
+            seq_to_genome.extend([li] * n_ctg)
+            new_seq += n_ctg
+            names.append(mapper._names[g])
+            lengths.append(int(mapper._lengths[g]))
+        if mh:
+            sub = np_engine.build_index(
+                np.concatenate(mh), np.concatenate(ms), np.concatenate(mw)
+            )
+        else:
+            sub = np_engine.build_index(
+                np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int32)
+            )
+        shards.append((sub, seq_to_genome, names, lengths))
+
+    def pad2(arrs, fill, dtype, min_width=1):
+        width = max(max((a.shape[0] for a in arrs), default=1), min_width)
+        out = np.full((n_shards, width), fill, dtype=dtype)
+        for i, a in enumerate(arrs):
+            out[i, : a.shape[0]] = a
+        return out
+
+    subs = [s[0] for s in shards]
+    # per-shard global coordinates: offset each contig past the previous one
+    offsets, gpos = [], []
+    n_ctg_max = max(max((len(s[1]) for s in shards), default=1), 1)
+    for sub, s2g, _, _ in shards:
+        C = len(s2g)
+        max_wpos = np.zeros(C, dtype=np.int64)
+        if sub.mini_seqid.shape[0]:
+            np.maximum.at(max_wpos, sub.mini_seqid, sub.mini_wpos.astype(np.int64))
+        spans = max_wpos + mapper._param.min_read_length + 8
+        off = np.zeros(n_ctg_max + 1, dtype=np.int64)
+        off[1 : C + 1] = np.cumsum(spans)
+        off[C + 1 :] = off[C]
+        offsets.append(off.astype(np.int32))
+        gpos.append(
+            (off[sub.mini_seqid] + sub.mini_wpos).astype(np.int32)
+            if sub.mini_seqid.shape[0]
+            else np.zeros(0, np.int32)
+        )
+
+    return ShardedIndex(
+        uniq_hash=pad2([s.uniq_hash for s in subs], 0xFFFFFFFF, np.uint32),
+        row_start=pad2([s.row_start.astype(np.int32) for s in subs], 0, np.int32),
+        row_len=pad2([s.row_len for s in subs], 0, np.int32),
+        post_seqid=pad2([s.post_seqid for s in subs], _BIG, np.int32),
+        post_wpos=pad2([s.post_wpos for s in subs], _BIG, np.int32),
+        mini_hash=pad2([s.mini_hash for s in subs], 0xFFFFFFFF, np.uint32),
+        mini_wpos=pad2([s.mini_wpos for s in subs], _BIG, np.int32),
+        mini_seqid=pad2([s.mini_seqid for s in subs], _BIG, np.int32),
+        mini_gpos=pad2(gpos, _BIG, np.int32),
+        contig_offset=np.stack(offsets),
+        seq_to_genome=pad2(
+            [np.asarray(s[1], np.int32) for s in shards], 0, np.int32,
+            min_width=n_ctg_max,
+        ),
+        freq_threshold=np.asarray([s.freq_threshold for s in subs], np.int32),
+        genome_names=[s[2] for s in shards],
+        genome_lengths=pad2(
+            [np.asarray(s[3], np.int64) for s in shards], 0, np.int64
+        ),
+        n_shards=n_shards,
+    )
+
+
+_IV_SLAB = 32  # intervals per inner step, bounds the (slab, cmax, rmax) block
+
+
+def _l2_interval_scan(
+    q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
+    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
+    cmw: int, cmax: int, rmax: int, t_chunks: int,
+):
+    """(best, first, last, overflow) per interval.
+
+    Outer ``lax.map`` over interval slabs bounds memory; inner
+    ``fori_loop`` walks offset chunks of each interval.
+    """
+    NI_in = iv_seq.shape[0]
+    pad = -NI_in % _IV_SLAB
+    if pad:
+        iv_seq = jnp.concatenate([iv_seq, jnp.zeros(pad, iv_seq.dtype)])
+        iv_c0 = jnp.concatenate([iv_c0, jnp.zeros(pad, iv_c0.dtype)])
+        iv_c1 = jnp.concatenate([iv_c1, jnp.full(pad, -1, iv_c1.dtype)])
+        iv_valid = jnp.concatenate([iv_valid, jnp.zeros(pad, bool)])
+        frag_of_iv = jnp.concatenate([frag_of_iv, jnp.zeros(pad, frag_of_iv.dtype)])
+
+    def slab_fn(args):
+        iv_seq, iv_c0, iv_c1, iv_valid, frag_of_iv = args
+        return _l2_slab(
+            q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
+            mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
+            cmw, cmax, rmax, t_chunks,
+        )
+
+    n_slabs = (NI_in + pad) // _IV_SLAB
+    shaped = tuple(
+        a.reshape(n_slabs, _IV_SLAB)
+        for a in (iv_seq, iv_c0, iv_c1, iv_valid, frag_of_iv)
+    )
+    best, first, last, ovf = jax.lax.map(slab_fn, shaped)
+    return (
+        best.reshape(-1)[:NI_in],
+        first.reshape(-1)[:NI_in],
+        last.reshape(-1)[:NI_in],
+        jnp.any(ovf),
+    )
+
+
+def _l2_slab(
+    q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
+    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
+    cmw: int, cmax: int, rmax: int, t_chunks: int,
+):
+    M = mini_hash.shape[0]
+    q = q_sorted[frag_of_iv]  # (NI, S)
+    s = s_sizes[frag_of_iv]
+    seq_c = jnp.clip(iv_seq, 0, contig_offset.shape[0] - 2)
+    base = contig_offset[seq_c]
+
+    def chunk_step(t, carry):
+        best, first, last, rovf = carry
+        c0 = iv_c0 + t * cmax
+        clen = jnp.clip(iv_c1 - c0 + 1, 0, cmax)
+        active = iv_valid & (clen > 0)
+        lo = jnp.searchsorted(mini_gpos, base + c0).astype(jnp.int32)
+        hi = jnp.searchsorted(
+            mini_gpos, base + jnp.minimum(c0 + clen - 1 + cmw, _BIG)
+        ).astype(jnp.int32)
+        rovf = rovf | (active & (hi - lo > rmax))
+
+        j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
+        rh = mini_hash[gidx]
+        rp = mini_wpos[gidx]
+        rseq = mini_seqid[gidx]
+        valid_j = (
+            (rseq == iv_seq[:, None])
+            & (rp < (c0 + clen)[:, None] + cmw)
+            & (j_idx < (hi - lo)[:, None])
+        )
+
+        S = q.shape[1]
+        i_idx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+        valid_i = i_idx < s[:, None, None]
+        qrank = jnp.sum((q[:, None, :] < rh[:, :, None]) & valid_i, axis=2)
+        in_q = jnp.any((q[:, None, :] == rh[:, :, None]) & valid_i, axis=2) & valid_j
+        Pm = (in_q[:, :, None] & (i_idx == qrank[:, :, None])).astype(jnp.float32)
+
+        c = c0[:, None] + jnp.arange(cmax, dtype=jnp.int32)[None, :]
+        in_win = (
+            (rp[:, None, :] >= c[:, :, None])
+            & (rp[:, None, :] < c[:, :, None] + cmw)
+            & valid_j[:, None, :]
+        ).astype(jnp.float32)
+        present = (
+            jnp.einsum("ncr,nrs->ncs", in_win, Pm, preferred_element_type=jnp.float32)
+            >= 1.0
+        )
+        shared = jnp.sum(present, axis=2).astype(jnp.int32)
+        off_ok = (jnp.arange(cmax, dtype=jnp.int32)[None, :] < clen[:, None]) & active[
+            :, None
+        ]
+        shared = jnp.where(off_ok, shared, -1)
+
+        cbest = jnp.max(shared, axis=1)
+        is_b = shared == cbest[:, None]
+        off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
+        cfirst = c0 + jnp.min(jnp.where(is_b, off, _BIG), axis=1)
+        clast = c0 + jnp.max(jnp.where(is_b, off, -_BIG), axis=1)
+
+        improve = cbest > best
+        tie = cbest == best
+        first = jnp.where(improve, cfirst, first)
+        last = jnp.where(improve, clast, jnp.where(tie, clast, last))
+        best = jnp.maximum(best, cbest)
+        return best, first, last, rovf
+
+    # derive the carry from varying inputs so the manual-axes (vma) types
+    # stay consistent under shard_map
+    zero = jnp.zeros_like(iv_c0)
+    init = (zero - 1, zero, zero, zero.astype(bool) & False)
+    best, first, last, rovf = jax.lax.fori_loop(0, t_chunks, chunk_step, init)
+    span_ovf = iv_valid & (iv_c1 - iv_c0 + 1 > cmax * t_chunks)
+    return best, first, last, jnp.any(rovf | span_ovf)[None]
+
+
+def _query_block_impl(
+    frags,
+    uniq_hash, row_start, row_len, post_seqid, post_wpos,
+    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
+    seq_to_genome, freq_threshold,
+    min_hits_table, gate_table,
+    k: int, w: int, length: int, protein: bool, l: int,
+    hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
+    g_max: int, bin_max: int, smax: int = 512,
+):
+    """Device-only query step for one fragment block vs one index shard.
+
+    Returns (best_bin (C*bin_max,) f32 -- per-bin best identity with
+    fragment-level reciprocal filtering applied, merged across "data" by
+    the caller -- and overflow flag)."""
+    from ..ops.fragments import _winnow_fragments_impl
+
+    F = frags.shape[0]
+    cmw = l - (k - 1)
+
+    # call the unjitted bodies: nested jit caches leak tracers in shard_map
+    _, _, q_sorted, s_sizes = _winnow_fragments_impl.__wrapped__(
+        frags, k, w, length, protein
+    )
+    # bound the sketch axis: sketches are ~2*l/w hashes; overflow is flagged
+    s_overflow = jnp.any(s_sizes > smax)
+    q_sorted = q_sorted[:, : min(smax, q_sorted.shape[1])]
+
+    iv_seq, iv_c0, iv_c1, iv_valid, overflow = l1_candidates_device.__wrapped__(
+        q_sorted, s_sizes, uniq_hash, row_start, row_len,
+        post_seqid, post_wpos, freq_threshold, min_hits_table,
+        hmax, ivmax, l,
+    )
+
+    frag_of_iv = jnp.repeat(jnp.arange(F, dtype=jnp.int32), ivmax)
+    best, first, last, l2_ovf = _l2_interval_scan(
+        q_sorted, s_sizes,
+        frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
+        iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
+        contig_offset, cmw, cmax, rmax, t_chunks,
+    )
+    overflow = jnp.any(overflow) | l2_ovf | s_overflow
+
+    s_iv = s_sizes[frag_of_iv]
+    gate = gate_table[jnp.clip(s_iv, 0, gate_table.shape[0] - 1)]
+    mapped = iv_valid.reshape(-1) & (best > 0) & (best >= gate)
+
+    mean_pos = (first + last) // 2 + 2 * (w - 1)
+    rbin = jnp.clip(mean_pos // l, 0, bin_max - 1)
+    C = seq_to_genome.shape[0]
+    seq_c = jnp.clip(iv_seq.reshape(-1), 0, C - 1)
+    gid = seq_to_genome[seq_c]
+
+    jac = best.astype(jnp.float32) / jnp.maximum(s_iv, 1).astype(jnp.float32)
+    mash = jnp.where(
+        jac <= 0.0, 1.0,
+        jnp.where(jac >= 1.0, 0.0, (-1.0 / k) * jnp.log(2.0 * jac / (1.0 + jac))),
+    ).astype(jnp.float32)
+    ident = (100.0 * (1.0 - mash)).astype(jnp.float32)
+
+    # CGI step 1: best identity per (genome, fragment); ties kept
+    fg = frag_of_iv * (g_max + 1) + jnp.where(mapped, gid, g_max)
+    best_fg = jax.ops.segment_max(
+        jnp.where(mapped, ident, -1.0), fg, num_segments=F * (g_max + 1) + g_max + 1
+    )
+    keep1 = mapped & (ident == best_fg[fg])
+
+    # CGI step 2: dense per-(contig, bin) best identity
+    cbin = jnp.where(keep1, seq_c * bin_max + rbin, C * bin_max)
+    best_bin = jax.ops.segment_max(
+        jnp.where(keep1, ident, -1.0), cbin, num_segments=C * bin_max + 1
+    )[: C * bin_max]
+    return best_bin, overflow
+
+
+# jitted entry for single-block use (the sharded path calls the impl inside
+# shard_map, where a nested jit cache would leak tracers across meshes)
+_query_block = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "length", "protein", "l", "hmax", "ivmax", "cmax", "rmax",
+        "t_chunks", "g_max", "bin_max", "smax",
+    ),
+)(_query_block_impl)
+
+
+def sharded_query(
+    mapper,
+    contigs,
+    mesh: Mesh,
+    hmax: int = 2048,
+    ivmax: int = 64,
+    cmax: int = 256,
+    rmax: int = 512,
+    t_chunks: int = 32,
+    bin_max: int = 2048,
+    smax: int = 512,
+):
+    """Query one genome against a genome-sharded reference over a mesh.
+
+    Exercises the full multi-chip path: DP fragment blocks over "data",
+    genome shards over "shard", per-bin pmax merge across "data" on ICI.
+    Returns `Hit`s like `Mapper.query_draft`.
+    """
+    from ..models._types import Hit
+    from ..ops import codec
+
+    params = mapper._param
+    l = params.min_read_length
+    n_shard = mesh.shape["shard"]
+    n_data = mesh.shape["data"]
+
+    sidx = build_sharded_index(mapper, n_shard)
+
+    frag_list = []
+    total_fragments = 0
+    total_length = 0
+    for contig in contigs:
+        data = codec.to_bytes(contig)
+        slen = int(data.shape[0])
+        if slen < min(params.window_size, params.kmer_size, l):
+            continue
+        n_frag = slen // l
+        for i in range(n_frag):
+            frag_list.append(data[i * l : (i + 1) * l])
+        total_fragments += n_frag
+        total_length += slen
+    if not frag_list:
+        return []
+    F = len(frag_list)
+    Fb = -(-F // n_data) * n_data
+    frags = np.zeros((Fb, l + 4), dtype=np.uint8)
+    for i, f in enumerate(frag_list):
+        frags[i, :l] = f
+
+    tab_hi = max(l, 1)
+    mh_tab = stats.min_hits_relaxed_table(
+        tab_hi, params.kmer_size, params.percentage_identity
+    )
+    gate_tab = stats.l2_gate_table(
+        tab_hi, params.kmer_size, params.percentage_identity
+    )
+    g_max = int(sidx.genome_lengths.shape[1])
+    bin_slots = sidx.n_contig_slots * bin_max
+
+    def block_fn(frags_b, uniq, rstart, rlen, pseq, pwpos, mhash, mwpos,
+                 mseq, mgpos, coff, s2g, thr, mht, gt):
+        best_bin, overflow = _query_block_impl(
+            frags_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
+            mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
+            mht, gt,
+            params.kmer_size, params.window_size, l,
+            params.alphabet_size != 4, l,
+            hmax, ivmax, cmax, rmax, t_chunks, g_max, bin_max, smax,
+        )
+        # merge the reciprocal-filtered per-bin identities across data blocks
+        best_bin = jax.lax.pmax(best_bin, "data")
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
+        # per-genome stats from the dense bin table
+        C = s2g.shape[1]
+        bin_gid = jnp.repeat(s2g[0], bin_max)
+        occupied = best_bin > 0.0
+        counts = jax.ops.segment_sum(
+            occupied.astype(jnp.int32), bin_gid, num_segments=g_max
+        )
+        isum = jax.ops.segment_sum(
+            jnp.where(occupied, best_bin, 0.0), bin_gid, num_segments=g_max
+        )
+        return counts[None], isum[None], overflow[None]
+
+    from jax import shard_map
+
+    si = P("shard", None)
+    fn = jax.jit(shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),
+            si, si, si, si, si, si, si, si, si, si, si, P("shard"),
+            P(None), P(None),
+        ),
+        out_specs=(P("shard", None), P("shard", None), P("shard")),
+    ))
+    counts, isum, overflow = fn(
+        jnp.asarray(frags),
+        jnp.asarray(sidx.uniq_hash), jnp.asarray(sidx.row_start),
+        jnp.asarray(sidx.row_len), jnp.asarray(sidx.post_seqid),
+        jnp.asarray(sidx.post_wpos), jnp.asarray(sidx.mini_hash),
+        jnp.asarray(sidx.mini_wpos), jnp.asarray(sidx.mini_seqid),
+        jnp.asarray(sidx.mini_gpos), jnp.asarray(sidx.contig_offset),
+        jnp.asarray(sidx.seq_to_genome), jnp.asarray(sidx.freq_threshold),
+        jnp.asarray(mh_tab), jnp.asarray(gate_tab),
+    )
+    counts = np.asarray(counts)
+    isum = np.asarray(isum)
+    if int(np.asarray(overflow).max()) > 0:
+        raise RuntimeError(
+            "sharded_query budget overflow; raise hmax/ivmax/rmax/t_chunks"
+        )
+
+    hits = []
+    for sh in range(sidx.n_shards):
+        for gi, name in enumerate(sidx.genome_names[sh]):
+            c = int(counts[sh, gi])
+            if c == 0:
+                continue
+            identity = float(np.float32(isum[sh, gi] / np.float32(c)))
+            min_length = min(total_length, int(sidx.genome_lengths[sh, gi]))
+            if np.float32(c * l) >= np.float32(min_length) * np.float32(
+                params.min_fraction
+            ):
+                hits.append(Hit(name, identity, c, total_fragments))
+    hits.sort(key=lambda h: h.identity, reverse=True)
+    return hits

@@ -1,0 +1,66 @@
+"""Multi-chip sharded pipeline vs the single-host engine (8 CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pyfastani_tpu import Sketch
+from pyfastani_tpu.parallel.mesh import make_mesh
+from pyfastani_tpu.parallel.sharded import sharded_query
+
+
+def _rand_genome(rng, n):
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
+
+
+def _mutate(rng, seq, rate):
+    arr = np.frombuffer(seq, dtype=np.uint8).copy()
+    idx = rng.random(arr.shape[0]) < rate
+    arr[idx] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(idx.sum()))
+    return arr.tobytes()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1)])
+def test_sharded_matches_host(mesh_shape):
+    rng = np.random.default_rng(17)
+    refs = [_rand_genome(rng, n) for n in (40_000, 25_000, 31_000, 18_000, 22_000)]
+    query = _mutate(rng, refs[1], 0.04)
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+    expected = mapper.query_genome(query)
+
+    mesh = make_mesh(*mesh_shape)
+    got = sharded_query(
+        mapper, [query], mesh,
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64, smax=256,
+    )
+
+    assert [(h.name, h.matches, h.fragments) for h in got] == [
+        (h.name, h.matches, h.fragments) for h in expected
+    ]
+    for a, b in zip(got, expected):
+        assert abs(a.identity - b.identity) < 1e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_self_query():
+    rng = np.random.default_rng(23)
+    refs = [_rand_genome(rng, n) for n in (30_000, 45_000, 21_000)]
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+    mesh = make_mesh(2, 4)
+    hits = sharded_query(
+        mapper, [refs[1]], mesh,
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64, smax=256,
+    )
+    assert len(hits) == 1
+    assert hits[0].name == "g1"
+    assert hits[0].identity == 100.0
+    assert hits[0].matches == hits[0].fragments == 15
