@@ -44,38 +44,52 @@ def _genomes():
     return refs, queries
 
 
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
     from pyfastani_tpu import Sketch
     from pyfastani_tpu.parallel.mesh import make_mesh
-    from pyfastani_tpu.parallel.sharded import sharded_query
+    from pyfastani_tpu.parallel.sharded import ShardedSession
 
+    _log(f"devices: {jax.devices()}")
     refs, queries = _genomes()
+    _log(f"generated {N_REFS} refs x {REF_LEN} bp, {N_QUERIES} queries")
 
     t0 = time.time()
     sketch = Sketch()
     for i, r in enumerate(refs):
         sketch.add_genome(f"ref{i}", r)
+        _log(f"sketched ref{i}")
     mapper = sketch.index()
     t_index = time.time() - t0
+    _log(f"indexed in {t_index:.1f}s ({mapper._index.n_minimizers} minimizers)")
 
     n_dev = len(jax.devices())
     mesh = make_mesh(1, n_dev)
 
-    kwargs = dict(hmax=4096, ivmax=64, cmax=256, rmax=512, t_chunks=24)
+    session = ShardedSession(
+        mapper, mesh, hmax=4096, ivmax=64, cmax=256, rmax=384, t_chunks=24, smax=384
+    )
+    frag_bucket = REF_LEN // 3000 + 1
 
     # warmup (compile)
+    _log("warmup query (compiles the sharded step)...")
     t0 = time.time()
-    hits = sharded_query(mapper, [queries[0]], mesh, **kwargs)
+    hits = session.query([queries[0]], frag_bucket=frag_bucket)
     t_warm = time.time() - t0
+    _log(f"warmup done in {t_warm:.1f}s, hits={[(h.name, h.matches) for h in hits]}")
     assert hits, "benchmark query produced no hits"
 
     t0 = time.time()
     total_bp = 0
-    for q in queries:
-        hits = sharded_query(mapper, [q], mesh, **kwargs)
+    for qi, q in enumerate(queries):
+        hits = session.query([q], frag_bucket=frag_bucket)
         total_bp += len(q)
+        _log(f"query {qi} done ({time.time() - t0:.1f}s cumulative)")
     elapsed = time.time() - t0
 
     mbp_s = total_bp / 1e6 / elapsed

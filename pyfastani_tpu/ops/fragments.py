@@ -68,34 +68,84 @@ def winnow_fragments(frags_np: np.ndarray, k: int, w: int, protein: bool):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "n_pos", "protein"))
-def _winnow_seq_impl(data, n, k: int, w: int, n_pos: int, protein: bool):
+_CHUNK_WINDOWS = 1 << 20  # windows winnowed per device call
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "B", "protein", "first_chunk")
+)
+def _winnow_chunk_jit(
+    slice_bytes,  # (L,) u8: bytes covering this chunk's k-mers (+halo)
+    n_slice,  # valid byte count within the slice
+    carry,  # (has_prev, prev_pos_local, phantom, h0)
+    k: int,
+    w: int,
+    B: int,
+    protein: bool,
+    first_chunk: bool,
+):
+    halo = w - 1
+    n_pos_slice = B + (halo if first_chunk else 2 * halo)
     if protein:
-        canon, valid = wops.prot_hashes(jnp, data, n, k, n_pos)
+        canon, valid = wops.prot_hashes(jnp, slice_bytes, n_slice, k, n_pos_slice)
     else:
-        canon, valid = wops.nucl_canonical(jnp, data, n, k, n_pos)
-    record, win_hash = wops.winnow(jnp, canon, valid, w)
-    return record, win_hash
+        canon, valid = wops.nucl_canonical(jnp, slice_bytes, n_slice, k, n_pos_slice)
+    if first_chunk and halo:
+        canon = jnp.concatenate(
+            [jnp.full((halo,), 0xFFFFFFFF, jnp.uint32), canon]
+        )
+        valid = jnp.concatenate([jnp.zeros((halo,), bool), valid])
+    record, win_hash, carry = wops.winnow_chunk(
+        jnp, canon, valid, w, carry, first_chunk=first_chunk
+    )
+    return record, win_hash, carry
 
 
 def winnow_long_sequence(data_np: np.ndarray, k: int, w: int, protein: bool):
-    """Winnow one long sequence on device with power-of-two length bucketing.
+    """Winnow one long sequence on device, in fixed-size chunks.
 
-    Returns (hashes u32, wpos i32) of the recorded minimizers, identical to
-    the host `winnow_sequence`.
+    One compiled shape serves every sequence length (the reference
+    streams through a fixed 2*2048-byte ring buffer for the same reason,
+    ``_fastani.pyx:179-196``).  Returns (hashes u32, wpos i32), identical
+    to the host `winnow_sequence`.
     """
     n = int(data_np.shape[0])
     n_pos = n - k + 1
     if n_pos < 1 or n_pos - w + 1 < 1:
         return np.zeros(0, np.uint32), np.zeros(0, np.int32)
-    # bucket the padded length to limit recompilation
-    bucket = 1 << max(12, (n + k + 4 - 1).bit_length())
-    padded = np.zeros(bucket, dtype=np.uint8)
-    padded[:n] = data_np
-    record, win_hash = _winnow_seq_impl(
-        jnp.asarray(padded), n, k, w, bucket - k + 1, protein
+
+    B = _CHUNK_WINDOWS
+    halo = w - 1
+    L = B + 2 * halo + k - 1 + 4  # fixed slice length
+    n_windows = n_pos - w + 1  # valid windows: [0, n_windows)
+
+    carry = (
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.uint32),
     )
-    record = np.asarray(record)
-    win_hash = np.asarray(win_hash)
-    wpos = np.flatnonzero(record).astype(np.int32)
-    return win_hash[record], wpos
+    out_h, out_p = [], []
+    base = 0
+    first = True
+    while base < n_windows:
+        lo = 0 if first else base - halo
+        sl = np.zeros(L, dtype=np.uint8)
+        avail = data_np[lo : lo + L]
+        sl[: avail.shape[0]] = avail
+        record, win_hash, carry = _winnow_chunk_jit(
+            jnp.asarray(sl), min(n - lo, L), carry, k, w, B, protein, first
+        )
+        rec = np.asarray(record)
+        wh = np.asarray(win_hash)
+        take = min(B, n_windows - base)
+        rec = rec[:take]
+        sel = np.flatnonzero(rec)
+        out_h.append(wh[:take][sel])
+        out_p.append((sel + base).astype(np.int32))
+        base += B
+        first = False
+    return (
+        np.concatenate(out_h) if out_h else np.zeros(0, np.uint32),
+        np.concatenate(out_p) if out_p else np.zeros(0, np.int32),
+    )

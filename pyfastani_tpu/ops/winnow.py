@@ -91,13 +91,17 @@ def nucl_canonical(xp, data, n: int, k: int, n_positions: int):
         rc = jnp.roll(rc, -(L_pad - n))
 
     fwd = kmer_hashes(xp, data, k, out_len=n_positions)
-    rc_hash = kmer_hashes(xp, rc, k, out_len=n_positions)
+    # rc hashes must cover the whole buffer: the mirror of an emitted
+    # position can land anywhere in [0, L-k] (chunked callers emit only a
+    # window range of positions)
+    rc_len = L_pad - k + 1
+    rc_hash = kmer_hashes(xp, rc, k, out_len=rc_len)
 
     # bwd hash of position i is the hash of rc at mirrored position n-k-i
     idx = xp.arange(n_positions, dtype=xp.int32)
     mirror = (xp.int32(n) - xp.int32(k)) - idx
-    in_range = (mirror >= 0) & (mirror < n_positions)
-    mirror_c = xp.clip(mirror, 0, n_positions - 1)
+    in_range = (mirror >= 0) & (mirror < rc_len)
+    mirror_c = xp.clip(mirror, 0, rc_len - 1)
     bwd = xp.where(in_range, rc_hash[mirror_c], xp.uint32(0))
 
     pos_ok = idx <= xp.int32(n) - xp.int32(k)
@@ -188,3 +192,92 @@ def winnow(xp, canon, valid, w: int):
 
     record = is_new & ~suppress
     return record, win_h
+
+
+def winnow_chunk(xp, canon, valid, w: int, carry, first_chunk: bool = False):
+    """Chunked variant of `winnow`: evaluate windows of one chunk given the
+    carried boundary state, so arbitrarily long sequences reuse one
+    compiled shape.
+
+    Args:
+        canon/valid: k-mer hashes/validity for positions
+            ``[base - (w-1), base + CHUNK + (w-1))`` of the contig (the
+            leading ``w-1`` halo lets every window of the chunk see its
+            full k-mer range; for the first chunk the halo is invalid
+            padding).
+        carry: tuple of traced scalars
+            ``(has_prev, prev_pos_local, phantom, h0)`` where
+            ``prev_pos_local`` is the previous evaluated window's chosen
+            k-mer position in THIS chunk's local coordinates (i.e. global
+            pos - base + (w-1); negative values reach into the halo).
+
+    Returns:
+        (record, win_hash) for the CHUNK windows (length ``CHUNK``) and
+        the updated carry (with ``prev_pos_local`` relative to the NEXT
+        chunk's coordinates, assuming the next chunk starts CHUNK later).
+    """
+    has_prev, prev_pos, phantom, h0 = carry
+    N = canon.shape[0]
+    halo = w - 1
+    P_all = N - w + 1  # windows starting at local positions [0, P_all)
+    CHUNK = P_all - halo  # windows of this chunk start at local pos halo
+
+    pos = xp.arange(N, dtype=xp.uint32)
+    g_h = xp.where(valid, canon, xp.uint32(_HASH_SENTINEL))
+    g_p = xp.where(valid, pos, xp.uint32(0))
+
+    size = 1
+    while size * 2 <= w:
+        sh = _shift_left(xp, g_h, size, _HASH_SENTINEL)
+        sp = _shift_left(xp, g_p, size, 0)
+        g_h, g_p = _pair_min(xp, g_h, g_p, sh, sp)
+        size *= 2
+    rem = w - size
+    sh = _shift_left(xp, g_h, rem, _HASH_SENTINEL)
+    sp = _shift_left(xp, g_p, rem, 0)
+    win_h_all, win_p_all = _pair_min(xp, g_h, g_p, sh, sp)
+
+    # restrict to this chunk's windows
+    win_h = win_h_all[halo : halo + CHUNK]
+    win_p = win_p_all[halo : halo + CHUNK].astype(xp.int32)
+    evaluated = valid[halo + w - 1 : halo + w - 1 + CHUNK]
+
+    idx = xp.arange(CHUNK, dtype=xp.int32)
+    marked = xp.where(evaluated, idx, xp.int32(-1))
+    prev_in = xp.concatenate(
+        [xp.full((1,), -1, dtype=xp.int32), _cummax(xp, marked)[:-1]]
+    )
+    prev_c = xp.clip(prev_in, 0, CHUNK - 1)
+    prev_pos_in = win_p[prev_c]
+    first_eval = prev_in < 0
+
+    # previous chosen position: in-chunk, or carried across the boundary
+    prev_pos_eff = xp.where(first_eval, xp.int32(prev_pos), prev_pos_in)
+    have_prev_eff = (~first_eval) | has_prev
+    is_new = evaluated & ((~have_prev_eff) | (win_p != prev_pos_eff))
+
+    # phantom suppression carried across chunks: active while every
+    # evaluated window since contig window 0 carried hash h0
+    if first_chunk:
+        phantom_eff = evaluated[0]
+        h0_eff = win_h[0]
+    else:
+        phantom_eff = phantom
+        h0_eff = xp.uint32(h0)
+    same_h0 = (~evaluated) | (win_h == h0_eff)
+    prefix_ok = _cumall(xp, same_h0)
+    suppress = phantom_eff & prefix_ok
+    if first_chunk:
+        suppress = suppress & (idx > 0)  # window 0 itself records
+    record = is_new & ~suppress
+
+    # update the carry
+    any_eval = evaluated.any()
+    last_eval = _cummax(xp, marked)[-1]
+    last_c = xp.clip(last_eval, 0, CHUNK - 1)
+    new_prev_pos = xp.where(any_eval, win_p[last_c], xp.int32(prev_pos))
+    new_has_prev = has_prev | any_eval
+    new_phantom = phantom_eff & prefix_ok[-1]
+    # local coords shift by CHUNK for the next chunk
+    new_carry = (new_has_prev, new_prev_pos - xp.int32(CHUNK), new_phantom, h0_eff)
+    return record, win_h, new_carry

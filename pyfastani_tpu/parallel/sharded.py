@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import stats
 from ..ops.l1 import l1_candidates_device
 
-__all__ = ["ShardedIndex", "build_sharded_index", "sharded_query"]
+__all__ = ["ShardedIndex", "ShardedSession", "build_sharded_index", "sharded_query"]
 
 _BIG = 2**30
 
@@ -165,81 +165,63 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
     )
 
 
-_IV_SLAB = 32  # intervals per inner step, bounds the (slab, cmax, rmax) block
+_CH_SLAB = 32  # chunk work items per inner step
 
 
 def _l2_interval_scan(
     q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
-    cmw: int, cmax: int, rmax: int, t_chunks: int,
+    cmw: int, cmax: int, rmax: int, ch_max: int,
 ):
     """(best, first, last, overflow) per interval.
 
-    Outer ``lax.map`` over interval slabs bounds memory; inner
-    ``fori_loop`` walks offset chunks of each interval.
+    Work is compacted on device into per-chunk items (interval x offset
+    chunk); invalid interval slots produce no work.  A ``lax.map`` over
+    chunk slabs evaluates the containment contraction on the MXU (bf16
+    inputs, f32 accumulation -- 0/1 values are exact), and per-interval
+    results merge back with segment reductions.
     """
-    NI_in = iv_seq.shape[0]
-    pad = -NI_in % _IV_SLAB
-    if pad:
-        iv_seq = jnp.concatenate([iv_seq, jnp.zeros(pad, iv_seq.dtype)])
-        iv_c0 = jnp.concatenate([iv_c0, jnp.zeros(pad, iv_c0.dtype)])
-        iv_c1 = jnp.concatenate([iv_c1, jnp.full(pad, -1, iv_c1.dtype)])
-        iv_valid = jnp.concatenate([iv_valid, jnp.zeros(pad, bool)])
-        frag_of_iv = jnp.concatenate([frag_of_iv, jnp.zeros(pad, frag_of_iv.dtype)])
+    NI = iv_seq.shape[0]
+    span = jnp.where(iv_valid, iv_c1 - iv_c0 + 1, 0)
+    n_ch = (span + cmax - 1) // cmax
+    ends = jnp.cumsum(n_ch)
+    total = ends[-1]
+    starts = ends - n_ch
+
+    j = jnp.arange(ch_max, dtype=jnp.int32)
+    iv_of = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    iv_of_c = jnp.clip(iv_of, 0, NI - 1)
+    t = j - starts[iv_of_c]
+    ch_c0 = iv_c0[iv_of_c] + t * cmax
+    ch_len = jnp.clip(iv_c1[iv_of_c] - ch_c0 + 1, 0, cmax)
+    ch_valid = j < total
+    overflow = total > ch_max
+
+    ch_frag = frag_of_iv[iv_of_c]
+    ch_seq = iv_seq[iv_of_c]
+    seq_c = jnp.clip(ch_seq, 0, contig_offset.shape[0] - 2)
+    ch_base = contig_offset[seq_c]
+
+    M = mini_hash.shape[0]
 
     def slab_fn(args):
-        iv_seq, iv_c0, iv_c1, iv_valid, frag_of_iv = args
-        return _l2_slab(
-            q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
-            mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
-            cmw, cmax, rmax, t_chunks,
-        )
-
-    n_slabs = (NI_in + pad) // _IV_SLAB
-    shaped = tuple(
-        a.reshape(n_slabs, _IV_SLAB)
-        for a in (iv_seq, iv_c0, iv_c1, iv_valid, frag_of_iv)
-    )
-    best, first, last, ovf = jax.lax.map(slab_fn, shaped)
-    return (
-        best.reshape(-1)[:NI_in],
-        first.reshape(-1)[:NI_in],
-        last.reshape(-1)[:NI_in],
-        jnp.any(ovf),
-    )
-
-
-def _l2_slab(
-    q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
-    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
-    cmw: int, cmax: int, rmax: int, t_chunks: int,
-):
-    M = mini_hash.shape[0]
-    q = q_sorted[frag_of_iv]  # (NI, S)
-    s = s_sizes[frag_of_iv]
-    seq_c = jnp.clip(iv_seq, 0, contig_offset.shape[0] - 2)
-    base = contig_offset[seq_c]
-
-    def chunk_step(t, carry):
-        best, first, last, rovf = carry
-        c0 = iv_c0 + t * cmax
-        clen = jnp.clip(iv_c1 - c0 + 1, 0, cmax)
-        active = iv_valid & (clen > 0)
+        frag, seq, base, c0, clen, valid_c = args
+        q = q_sorted[frag]  # (B, S)
+        s = s_sizes[frag]
         lo = jnp.searchsorted(mini_gpos, base + c0).astype(jnp.int32)
         hi = jnp.searchsorted(
             mini_gpos, base + jnp.minimum(c0 + clen - 1 + cmw, _BIG)
         ).astype(jnp.int32)
-        rovf = rovf | (active & (hi - lo > rmax))
+        rovf = jnp.any(valid_c & (hi - lo > rmax))
 
         j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
         gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
         rh = mini_hash[gidx]
         rp = mini_wpos[gidx]
-        rseq = mini_seqid[gidx]
         valid_j = (
-            (rseq == iv_seq[:, None])
-            & (rp < (c0 + clen)[:, None] + cmw)
+            (mini_seqid[gidx] == seq[:, None])
             & (j_idx < (hi - lo)[:, None])
+            & valid_c[:, None]
         )
 
         S = q.shape[1]
@@ -247,22 +229,22 @@ def _l2_slab(
         valid_i = i_idx < s[:, None, None]
         qrank = jnp.sum((q[:, None, :] < rh[:, :, None]) & valid_i, axis=2)
         in_q = jnp.any((q[:, None, :] == rh[:, :, None]) & valid_i, axis=2) & valid_j
-        Pm = (in_q[:, :, None] & (i_idx == qrank[:, :, None])).astype(jnp.float32)
+        Pm = (in_q[:, :, None] & (i_idx == qrank[:, :, None])).astype(jnp.bfloat16)
 
         c = c0[:, None] + jnp.arange(cmax, dtype=jnp.int32)[None, :]
         in_win = (
             (rp[:, None, :] >= c[:, :, None])
             & (rp[:, None, :] < c[:, :, None] + cmw)
             & valid_j[:, None, :]
-        ).astype(jnp.float32)
+        ).astype(jnp.bfloat16)
         present = (
-            jnp.einsum("ncr,nrs->ncs", in_win, Pm, preferred_element_type=jnp.float32)
+            jnp.einsum("bcr,brs->bcs", in_win, Pm, preferred_element_type=jnp.float32)
             >= 1.0
         )
         shared = jnp.sum(present, axis=2).astype(jnp.int32)
-        off_ok = (jnp.arange(cmax, dtype=jnp.int32)[None, :] < clen[:, None]) & active[
-            :, None
-        ]
+        off_ok = (
+            jnp.arange(cmax, dtype=jnp.int32)[None, :] < clen[:, None]
+        ) & valid_c[:, None]
         shared = jnp.where(off_ok, shared, -1)
 
         cbest = jnp.max(shared, axis=1)
@@ -270,21 +252,30 @@ def _l2_slab(
         off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
         cfirst = c0 + jnp.min(jnp.where(is_b, off, _BIG), axis=1)
         clast = c0 + jnp.max(jnp.where(is_b, off, -_BIG), axis=1)
+        return cbest, cfirst, clast, rovf
 
-        improve = cbest > best
-        tie = cbest == best
-        first = jnp.where(improve, cfirst, first)
-        last = jnp.where(improve, clast, jnp.where(tie, clast, last))
-        best = jnp.maximum(best, cbest)
-        return best, first, last, rovf
+    n_slabs = ch_max // _CH_SLAB
+    args = tuple(
+        a.reshape(n_slabs, _CH_SLAB)
+        for a in (ch_frag, ch_seq, ch_base, ch_c0, ch_len, ch_valid)
+    )
+    cbest, cfirst, clast, rovf = jax.lax.map(slab_fn, args)
+    cbest = cbest.reshape(-1)
+    cfirst = cfirst.reshape(-1)
+    clast = clast.reshape(-1)
 
-    # derive the carry from varying inputs so the manual-axes (vma) types
-    # stay consistent under shard_map
-    zero = jnp.zeros_like(iv_c0)
-    init = (zero - 1, zero, zero, zero.astype(bool) & False)
-    best, first, last, rovf = jax.lax.fori_loop(0, t_chunks, chunk_step, init)
-    span_ovf = iv_valid & (iv_c1 - iv_c0 + 1 > cmax * t_chunks)
-    return best, first, last, jnp.any(rovf | span_ovf)[None]
+    # merge chunk results per interval (max + first/last argmax)
+    seg = jnp.where(ch_valid, iv_of_c, NI)
+    best = jax.ops.segment_max(cbest, seg, num_segments=NI + 1)[:NI]
+    is_best = ch_valid & (cbest == best[iv_of_c])
+    first = jax.ops.segment_min(
+        jnp.where(is_best, cfirst, _BIG), seg, num_segments=NI + 1
+    )[:NI]
+    last = jax.ops.segment_max(
+        jnp.where(is_best, clast, -_BIG), seg, num_segments=NI + 1
+    )[:NI]
+    best = jnp.where(iv_valid & (n_ch > 0), best, -1)
+    return best, first, last, overflow | jnp.any(rovf)
 
 
 def _query_block_impl(
@@ -322,11 +313,13 @@ def _query_block_impl(
     )
 
     frag_of_iv = jnp.repeat(jnp.arange(F, dtype=jnp.int32), ivmax)
+    # chunk budget: ~t_chunks chunks per fragment on average
+    ch_max = -(-(F * t_chunks) // _CH_SLAB) * _CH_SLAB
     best, first, last, l2_ovf = _l2_interval_scan(
         q_sorted, s_sizes,
         frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
-        contig_offset, cmw, cmax, rmax, t_chunks,
+        contig_offset, cmw, cmax, rmax, ch_max,
     )
     overflow = jnp.any(overflow) | l2_ovf | s_overflow
 
@@ -373,131 +366,154 @@ _query_block = functools.partial(
 )(_query_block_impl)
 
 
-def sharded_query(
-    mapper,
-    contigs,
-    mesh: Mesh,
-    hmax: int = 2048,
-    ivmax: int = 64,
-    cmax: int = 256,
-    rmax: int = 512,
-    t_chunks: int = 32,
-    bin_max: int = 2048,
-    smax: int = 512,
-):
-    """Query one genome against a genome-sharded reference over a mesh.
+class ShardedSession:
+    """Reusable multi-chip query session: the sharded index lives on the
+    devices and the shard_map program is compiled once, so successive
+    queries pay only dispatch + data transfer for the query fragments."""
 
-    Exercises the full multi-chip path: DP fragment blocks over "data",
-    genome shards over "shard", per-bin pmax merge across "data" on ICI.
-    Returns `Hit`s like `Mapper.query_draft`.
-    """
-    from ..models._types import Hit
-    from ..ops import codec
+    def __init__(
+        self,
+        mapper,
+        mesh: Mesh,
+        hmax: int = 2048,
+        ivmax: int = 64,
+        cmax: int = 256,
+        rmax: int = 512,
+        t_chunks: int = 32,
+        bin_max: int = 2048,
+        smax: int = 512,
+    ):
+        from jax import shard_map
 
-    params = mapper._param
-    l = params.min_read_length
-    n_shard = mesh.shape["shard"]
-    n_data = mesh.shape["data"]
-
-    sidx = build_sharded_index(mapper, n_shard)
-
-    frag_list = []
-    total_fragments = 0
-    total_length = 0
-    for contig in contigs:
-        data = codec.to_bytes(contig)
-        slen = int(data.shape[0])
-        if slen < min(params.window_size, params.kmer_size, l):
-            continue
-        n_frag = slen // l
-        for i in range(n_frag):
-            frag_list.append(data[i * l : (i + 1) * l])
-        total_fragments += n_frag
-        total_length += slen
-    if not frag_list:
-        return []
-    F = len(frag_list)
-    Fb = -(-F // n_data) * n_data
-    frags = np.zeros((Fb, l + 4), dtype=np.uint8)
-    for i, f in enumerate(frag_list):
-        frags[i, :l] = f
-
-    tab_hi = max(l, 1)
-    mh_tab = stats.min_hits_relaxed_table(
-        tab_hi, params.kmer_size, params.percentage_identity
-    )
-    gate_tab = stats.l2_gate_table(
-        tab_hi, params.kmer_size, params.percentage_identity
-    )
-    g_max = int(sidx.genome_lengths.shape[1])
-    bin_slots = sidx.n_contig_slots * bin_max
-
-    def block_fn(frags_b, uniq, rstart, rlen, pseq, pwpos, mhash, mwpos,
-                 mseq, mgpos, coff, s2g, thr, mht, gt):
-        best_bin, overflow = _query_block_impl(
-            frags_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
-            mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
-            mht, gt,
-            params.kmer_size, params.window_size, l,
-            params.alphabet_size != 4, l,
-            hmax, ivmax, cmax, rmax, t_chunks, g_max, bin_max, smax,
+        self.mapper = mapper
+        self.mesh = mesh
+        self.params = mapper._param
+        self.budgets = dict(
+            hmax=hmax, ivmax=ivmax, cmax=cmax, rmax=rmax,
+            t_chunks=t_chunks, bin_max=bin_max, smax=smax,
         )
-        # merge the reciprocal-filtered per-bin identities across data blocks
-        best_bin = jax.lax.pmax(best_bin, "data")
-        overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
-        # per-genome stats from the dense bin table
-        C = s2g.shape[1]
-        bin_gid = jnp.repeat(s2g[0], bin_max)
-        occupied = best_bin > 0.0
-        counts = jax.ops.segment_sum(
-            occupied.astype(jnp.int32), bin_gid, num_segments=g_max
-        )
-        isum = jax.ops.segment_sum(
-            jnp.where(occupied, best_bin, 0.0), bin_gid, num_segments=g_max
-        )
-        return counts[None], isum[None], overflow[None]
+        params = self.params
+        l = params.min_read_length
+        self.n_shard = mesh.shape["shard"]
+        self.n_data = mesh.shape["data"]
+        self.sidx = sidx = build_sharded_index(mapper, self.n_shard)
 
-    from jax import shard_map
+        tab_hi = max(l, 1)
+        mh_tab = stats.min_hits_relaxed_table(
+            tab_hi, params.kmer_size, params.percentage_identity
+        )
+        gate_tab = stats.l2_gate_table(
+            tab_hi, params.kmer_size, params.percentage_identity
+        )
+        g_max = int(sidx.genome_lengths.shape[1])
+        self._g_max = g_max
 
-    si = P("shard", None)
-    fn = jax.jit(shard_map(
-        block_fn,
-        mesh=mesh,
-        in_specs=(
-            P("data", None),
-            si, si, si, si, si, si, si, si, si, si, si, P("shard"),
-            P(None), P(None),
-        ),
-        out_specs=(P("shard", None), P("shard", None), P("shard")),
-    ))
-    counts, isum, overflow = fn(
-        jnp.asarray(frags),
-        jnp.asarray(sidx.uniq_hash), jnp.asarray(sidx.row_start),
-        jnp.asarray(sidx.row_len), jnp.asarray(sidx.post_seqid),
-        jnp.asarray(sidx.post_wpos), jnp.asarray(sidx.mini_hash),
-        jnp.asarray(sidx.mini_wpos), jnp.asarray(sidx.mini_seqid),
-        jnp.asarray(sidx.mini_gpos), jnp.asarray(sidx.contig_offset),
-        jnp.asarray(sidx.seq_to_genome), jnp.asarray(sidx.freq_threshold),
-        jnp.asarray(mh_tab), jnp.asarray(gate_tab),
-    )
-    counts = np.asarray(counts)
-    isum = np.asarray(isum)
-    if int(np.asarray(overflow).max()) > 0:
-        raise RuntimeError(
-            "sharded_query budget overflow; raise hmax/ivmax/rmax/t_chunks"
+        def block_fn(frags_b, uniq, rstart, rlen, pseq, pwpos, mhash, mwpos,
+                     mseq, mgpos, coff, s2g, thr, mht, gt):
+            best_bin, overflow = _query_block_impl(
+                frags_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
+                mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
+                mht, gt,
+                params.kmer_size, params.window_size, l,
+                params.alphabet_size != 4, l,
+                hmax, ivmax, cmax, rmax, t_chunks, g_max, bin_max, smax,
+            )
+            best_bin = jax.lax.pmax(best_bin, "data")
+            overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
+            bin_gid = jnp.repeat(s2g[0], bin_max)
+            occupied = best_bin > 0.0
+            counts = jax.ops.segment_sum(
+                occupied.astype(jnp.int32), bin_gid, num_segments=g_max
+            )
+            isum = jax.ops.segment_sum(
+                jnp.where(occupied, best_bin, 0.0), bin_gid, num_segments=g_max
+            )
+            return counts[None], isum[None], overflow[None]
+
+        si = P("shard", None)
+        self._fn = jax.jit(shard_map(
+            block_fn,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                si, si, si, si, si, si, si, si, si, si, si, P("shard"),
+                P(None), P(None),
+            ),
+            out_specs=(P("shard", None), P("shard", None), P("shard")),
+        ))
+        # park the index on the devices once
+        self._index_args = (
+            jnp.asarray(sidx.uniq_hash), jnp.asarray(sidx.row_start),
+            jnp.asarray(sidx.row_len), jnp.asarray(sidx.post_seqid),
+            jnp.asarray(sidx.post_wpos), jnp.asarray(sidx.mini_hash),
+            jnp.asarray(sidx.mini_wpos), jnp.asarray(sidx.mini_seqid),
+            jnp.asarray(sidx.mini_gpos), jnp.asarray(sidx.contig_offset),
+            jnp.asarray(sidx.seq_to_genome), jnp.asarray(sidx.freq_threshold),
+            jnp.asarray(mh_tab), jnp.asarray(gate_tab),
         )
 
-    hits = []
-    for sh in range(sidx.n_shards):
-        for gi, name in enumerate(sidx.genome_names[sh]):
-            c = int(counts[sh, gi])
-            if c == 0:
+    def _fragments(self, contigs):
+        from ..ops import codec
+
+        params = self.params
+        l = params.min_read_length
+        frag_list = []
+        total_fragments = 0
+        total_length = 0
+        for contig in contigs:
+            data = codec.to_bytes(contig)
+            slen = int(data.shape[0])
+            if slen < min(params.window_size, params.kmer_size, l):
                 continue
-            identity = float(np.float32(isum[sh, gi] / np.float32(c)))
-            min_length = min(total_length, int(sidx.genome_lengths[sh, gi]))
-            if np.float32(c * l) >= np.float32(min_length) * np.float32(
-                params.min_fraction
-            ):
-                hits.append(Hit(name, identity, c, total_fragments))
-    hits.sort(key=lambda h: h.identity, reverse=True)
-    return hits
+            n_frag = slen // l
+            for i in range(n_frag):
+                frag_list.append(data[i * l : (i + 1) * l])
+            total_fragments += n_frag
+            total_length += slen
+        return frag_list, total_fragments, total_length
+
+    def query(self, contigs, frag_bucket: int | None = None):
+        """Query one genome; returns `Hit`s like `Mapper.query_draft`."""
+        from ..models._types import Hit
+
+        params = self.params
+        l = params.min_read_length
+        frag_list, total_fragments, total_length = self._fragments(contigs)
+        if not frag_list:
+            return []
+        F = len(frag_list)
+        Fb = -(-F // self.n_data) * self.n_data
+        if frag_bucket:
+            Fb = max(Fb, -(-frag_bucket // self.n_data) * self.n_data)
+        frags = np.zeros((Fb, l + 4), dtype=np.uint8)
+        for i, f in enumerate(frag_list):
+            frags[i, :l] = f
+
+        counts, isum, overflow = self._fn(jnp.asarray(frags), *self._index_args)
+        counts = np.asarray(counts)
+        isum = np.asarray(isum)
+        if int(np.asarray(overflow).max()) > 0:
+            raise RuntimeError(
+                "sharded query budget overflow; raise hmax/ivmax/rmax/t_chunks"
+            )
+
+        sidx = self.sidx
+        hits = []
+        for sh in range(sidx.n_shards):
+            for gi, name in enumerate(sidx.genome_names[sh]):
+                c = int(counts[sh, gi])
+                if c == 0:
+                    continue
+                identity = float(np.float32(isum[sh, gi] / np.float32(c)))
+                min_length = min(total_length, int(sidx.genome_lengths[sh, gi]))
+                if np.float32(c * l) >= np.float32(min_length) * np.float32(
+                    params.min_fraction
+                ):
+                    hits.append(Hit(name, identity, c, total_fragments))
+        hits.sort(key=lambda h: h.identity, reverse=True)
+        return hits
+
+
+def sharded_query(mapper, contigs, mesh: Mesh, **budgets):
+    """One-shot convenience wrapper around `ShardedSession`."""
+    return ShardedSession(mapper, mesh, **budgets).query(contigs)

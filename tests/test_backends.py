@@ -35,6 +35,39 @@ def test_winnow_backend_parity(protein):
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.parametrize("protein", [False, True])
+def test_chunked_winnow_matches_single_shot(protein, monkeypatch):
+    """Force small device chunks and compare against the host winnow."""
+    from pyfastani_tpu.models import _engine_np as E
+    from pyfastani_tpu.models._params import Parameters
+    from pyfastani_tpu.ops import fragments as frag_ops
+
+    monkeypatch.setattr(frag_ops, "_CHUNK_WINDOWS", 512)
+    rng = np.random.default_rng(31)
+    alpha = b"ACGTN" if not protein else b"ACDEFGHIKLMNPQRSTVWY"
+    params = Parameters(
+        kmer_size=16,
+        window_size=1 if protein else 24,
+        alphabet_size=20 if protein else 4,
+    )
+    for length in (2000, 5000, 513 + 15, 1536):
+        seq = rng.choice(np.frombuffer(alpha, dtype=np.uint8), size=length)
+        h_np, p_np = E.winnow_sequence(seq, params)
+        h_jx, p_jx = frag_ops.winnow_long_sequence(
+            seq, params.kmer_size, params.window_size, protein
+        )
+        np.testing.assert_array_equal(h_np, h_jx)
+        np.testing.assert_array_equal(p_np, p_jx)
+    # poly-A start exercises the carried phantom suppression
+    seq = np.frombuffer(b"A" * 900 + b"CGTAC" * 300, dtype=np.uint8)
+    h_np, p_np = E.winnow_sequence(seq, params)
+    h_jx, p_jx = frag_ops.winnow_long_sequence(
+        seq, params.kmer_size, params.window_size, protein
+    )
+    np.testing.assert_array_equal(h_np, h_jx)
+    np.testing.assert_array_equal(p_np, p_jx)
+
+
 def test_query_backend_parity_nucl():
     rng = np.random.default_rng(5)
     ref = _random_genome(rng, 60_000)
