@@ -18,10 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# keep XLA compiles cached across bench runs
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pyfastani_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# keep XLA compiles cached across bench runs (configured via jax.config by
+# pyfastani_tpu.utils.jaxconfig -- env vars are ignored by this jaxlib build)
 
 BASELINE_MBP_S = 4.3
 

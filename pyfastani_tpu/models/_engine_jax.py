@@ -75,7 +75,7 @@ def query_contigs(mapper, contig_arrays):
     frags[:F] = np.stack(frag_list)
 
     # 2. device winnow + sketch
-    _, _, q_sorted, s_sizes = frag_ops.winnow_fragments(
+    q_sorted, s_sizes = frag_ops.winnow_fragments(
         frags, k, w, params.alphabet_size != 4
     )
     q_sorted, s_sizes = q_sorted[:F], s_sizes[:F]

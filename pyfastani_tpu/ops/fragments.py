@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxconfig import configure as _configure_jax
 from . import winnow as wops
+from . import winnow2d as w2d
+
+_configure_jax()
 
 __all__ = ["winnow_fragments", "winnow_long_sequence"]
 
@@ -52,57 +56,67 @@ def _winnow_fragments_impl(frags, k: int, w: int, length: int, protein: bool):
     return record, win_hash, q_sorted, s
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "length", "protein"))
+def _winnow_fragments_sketch(frags, k: int, w: int, length: int, protein: bool):
+    # only the sketch outputs -- the per-window record/hash arrays stay on
+    # device (a (F, P) bool d2h is pathologically slow over the tunnel)
+    _, _, q_sorted, s = _winnow_fragments_impl.__wrapped__(
+        frags, k, w, length, protein
+    )
+    return q_sorted, s
+
+
 def winnow_fragments(frags_np: np.ndarray, k: int, w: int, protein: bool):
-    """Host wrapper: frags_np (F, length) uint8 -> numpy results."""
+    """Host wrapper: frags_np (F, length) uint8 -> (q_sorted, s) numpy.
+
+    Returns each fragment's sorted unique sketch hashes (UMAX padded) and
+    sketch size; the raw per-window minimizer stream never leaves device.
+    """
     F, length = frags_np.shape
     padded = np.zeros((F, length + 4), dtype=np.uint8)
     padded[:, :length] = frags_np
-    record, win_hash, q_sorted, s = _winnow_fragments_impl(
-        jnp.asarray(padded), k, w, length, protein
-    )
-    return (
-        np.asarray(record),
-        np.asarray(win_hash),
-        np.asarray(q_sorted),
-        np.asarray(s),
-    )
+    q_sorted, s = _winnow_fragments_sketch(jnp.asarray(padded), k, w, length, protein)
+    return np.asarray(q_sorted), np.asarray(s)
 
 
-_CHUNK_WINDOWS = 1 << 20  # windows winnowed per device call
+_CHUNK_WINDOWS = 1 << 21  # windows winnowed per device call
 
 
 @functools.partial(
     jax.jit, static_argnames=("k", "w", "B", "protein", "first_chunk")
 )
-def _winnow_chunk_jit(
-    slice_bytes,  # (L,) u8: bytes covering this chunk's k-mers (+halo)
-    n_slice,  # valid byte count within the slice
-    carry,  # (has_prev, prev_pos_local, phantom, h0)
+def _winnow_chunk2d_jit(
+    slice2d,  # (R, 128) u8: bytes data[base : base + R*128]
+    q_hi,  # int32: valid k-mer positions in this slice
+    base,  # int32: global position of flat index 0
+    carry,  # (has_prev, prev_pos(global), phantom, h0)
     k: int,
     w: int,
     B: int,
     protein: bool,
     first_chunk: bool,
 ):
-    halo = w - 1
-    n_pos_slice = B + (halo if first_chunk else 2 * halo)
-    if protein:
-        canon, valid = wops.prot_hashes(jnp, slice_bytes, n_slice, k, n_pos_slice)
-    else:
-        canon, valid = wops.nucl_canonical(jnp, slice_bytes, n_slice, k, n_pos_slice)
-    if first_chunk and halo:
-        canon = jnp.concatenate(
-            [jnp.full((halo,), 0xFFFFFFFF, jnp.uint32), canon]
-        )
-        valid = jnp.concatenate([jnp.zeros((halo,), bool), valid])
-    record, win_hash, carry = wops.winnow_chunk(
-        jnp, canon, valid, w, carry, first_chunk=first_chunk
+    record, win_hash, carry = w2d.winnow_chunk2d(
+        jnp,
+        slice2d,
+        q_hi,
+        base,
+        carry,
+        k=k,
+        w=w,
+        B=B,
+        protein=protein,
+        first_chunk=first_chunk,
     )
-    return record, win_hash, carry
+    # bool d2h is pathologically slow over the device tunnel (~180 s for
+    # 2 MB, vs 0.4 s for the same data as uint8) -- widen before transfer
+    return record.astype(jnp.uint8), win_hash, carry
 
 
-def winnow_long_sequence(data_np: np.ndarray, k: int, w: int, protein: bool):
-    """Winnow one long sequence on device, in fixed-size chunks.
+def winnow_long_sequence(
+    data_np: np.ndarray, k: int, w: int, protein: bool, chunk: int | None = None
+):
+    """Winnow one long sequence on device, in fixed-size (R, 128) chunks.
 
     One compiled shape serves every sequence length (the reference
     streams through a fixed 2*2048-byte ring buffer for the same reason,
@@ -111,13 +125,13 @@ def winnow_long_sequence(data_np: np.ndarray, k: int, w: int, protein: bool):
     """
     n = int(data_np.shape[0])
     n_pos = n - k + 1
-    if n_pos < 1 or n_pos - w + 1 < 1:
+    n_windows = n_pos - w + 1
+    if n_pos < 1 or n_windows < 1:
         return np.zeros(0, np.uint32), np.zeros(0, np.int32)
 
-    B = _CHUNK_WINDOWS
-    halo = w - 1
-    L = B + 2 * halo + k - 1 + 4  # fixed slice length
-    n_windows = n_pos - w + 1  # valid windows: [0, n_windows)
+    B = chunk or _CHUNK_WINDOWS
+    R = w2d.chunk_slice_rows(B, w, k)
+    L = R * 128
 
     carry = (
         jnp.asarray(False),
@@ -126,25 +140,27 @@ def winnow_long_sequence(data_np: np.ndarray, k: int, w: int, protein: bool):
         jnp.asarray(0, jnp.uint32),
     )
     out_h, out_p = [], []
-    base = 0
-    first = True
-    while base < n_windows:
-        lo = 0 if first else base - halo
+    for base in range(0, n_windows, B):
         sl = np.zeros(L, dtype=np.uint8)
-        avail = data_np[lo : lo + L]
+        avail = data_np[base : base + L]
         sl[: avail.shape[0]] = avail
-        record, win_hash, carry = _winnow_chunk_jit(
-            jnp.asarray(sl), min(n - lo, L), carry, k, w, B, protein, first
+        record, win_hash, carry = _winnow_chunk2d_jit(
+            jnp.asarray(sl.reshape(R, 128)),
+            np.int32(n_pos - base),
+            np.int32(base),
+            carry,
+            k,
+            w,
+            B,
+            protein,
+            base == 0,
         )
-        rec = np.asarray(record)
-        wh = np.asarray(win_hash)
         take = min(B, n_windows - base)
-        rec = rec[:take]
+        rec = np.asarray(record).ravel()[:take]
+        wh = np.asarray(win_hash).ravel()[:take]
         sel = np.flatnonzero(rec)
-        out_h.append(wh[:take][sel])
+        out_h.append(wh[sel])
         out_p.append((sel + base).astype(np.int32))
-        base += B
-        first = False
     return (
         np.concatenate(out_h) if out_h else np.zeros(0, np.uint32),
         np.concatenate(out_p) if out_p else np.zeros(0, np.int32),

@@ -22,6 +22,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..utils.jaxconfig import configure as _configure_jax
+
+_configure_jax()
+
 __all__ = ["l1_candidates_device"]
 
 _BIG = jnp.int32(2**30)

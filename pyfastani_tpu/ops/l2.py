@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxconfig import configure as _configure_jax
+
+_configure_jax()
+
 __all__ = ["l2_chunk_scan"]
 
 _UMAX = jnp.uint32(0xFFFFFFFF)

@@ -32,6 +32,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.jaxconfig import configure as _configure_jax
+
+_configure_jax()
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import stats

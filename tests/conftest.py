@@ -6,6 +6,9 @@ the suite against real devices instead.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if not os.environ.get("PYFASTANI_TPU_TEST_TPU"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -15,17 +18,13 @@ if not os.environ.get("PYFASTANI_TPU_TEST_TPU"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
-# persistent compilation cache: XLA compiles are the dominant test cost
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pyfastani_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-
-if not os.environ.get("PYFASTANI_TPU_TEST_TPU"):
     # the axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-import sys
+# persistent compilation cache: XLA compiles are the dominant test cost
+# (env vars are not honored by this jaxlib build -- configure via jax.config)
+from pyfastani_tpu.utils.jaxconfig import configure as _configure_jax_cache
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_configure_jax_cache()
