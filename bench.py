@@ -69,26 +69,22 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(1, n_dev)
 
-    session = ShardedSession(
-        mapper, mesh, hmax=4096, ivmax=64, cmax=256, rmax=384, t_chunks=24, smax=384
-    )
-    frag_bucket = REF_LEN // 3000 + 1
+    session = ShardedSession(mapper, mesh)
 
-    # warmup (compile)
-    _log("warmup query (compiles the sharded step)...")
+    # warmup: compile the batched sharded step
+    _log("warmup (compiles the batched sharded step)...")
     t0 = time.time()
-    hits = session.query([queries[0]], frag_bucket=frag_bucket)
+    session.query_many([[q] for q in queries])
     t_warm = time.time() - t0
-    _log(f"warmup done in {t_warm:.1f}s, hits={[(h.name, h.matches) for h in hits]}")
-    assert hits, "benchmark query produced no hits"
+    _log(f"warmup done in {t_warm:.1f}s")
 
     t0 = time.time()
-    total_bp = 0
-    for qi, q in enumerate(queries):
-        hits = session.query([q], frag_bucket=frag_bucket)
-        total_bp += len(q)
-        _log(f"query {qi} done ({time.time() - t0:.1f}s cumulative)")
+    results = session.query_many([[q] for q in queries])
     elapsed = time.time() - t0
+    total_bp = sum(len(q) for q in queries)
+    for qi, hits in enumerate(results):
+        assert hits, f"benchmark query {qi} produced no hits"
+        _log(f"query {qi}: {[(h.name, h.matches) for h in hits][:2]}")
 
     mbp_s = total_bp / 1e6 / elapsed
     result = {

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.jaxconfig import configure as _configure_jax
+from . import layout2d
 from . import winnow as wops
 from . import winnow2d as w2d
 
@@ -23,7 +24,7 @@ _configure_jax()
 
 __all__ = ["winnow_fragments", "winnow_long_sequence"]
 
-_UMAX = jnp.uint32(0xFFFFFFFF)
+_UMAX = np.uint32(0xFFFFFFFF)  # numpy, not jnp: see note in ops/l2.py
 
 
 @functools.partial(
@@ -83,19 +84,30 @@ _CHUNK_WINDOWS = 1 << 21  # windows winnowed per device call
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "w", "B", "protein", "first_chunk")
+    jax.jit, static_argnames=("k", "w", "B", "protein", "first_chunk", "cap")
 )
 def _winnow_chunk2d_jit(
     slice2d,  # (R, 128) u8: bytes data[base : base + R*128]
     q_hi,  # int32: valid k-mer positions in this slice
     base,  # int32: global position of flat index 0
+    take,  # int32: only windows [0, take) of this chunk are emitted
     carry,  # (has_prev, prev_pos(global), phantom, h0)
     k: int,
     w: int,
     B: int,
     protein: bool,
     first_chunk: bool,
+    cap: int,
 ):
+    """Winnow one chunk and compact its minimizer records on device.
+
+    Device-to-host bandwidth over the tunnel is ~10-40 MB/s (and bool
+    arrays transfer ~1000x slower still), so the dense per-window
+    record/hash arrays never leave the device: records are counted with a
+    flattened prefix sum and scattered into (cap,)-sized output buffers.
+    Returns (hashes (capR,128) u32, wpos (capR,128) i32, count, carry);
+    ``count > cap`` means the caller must retry with a larger cap.
+    """
     record, win_hash, carry = w2d.winnow_chunk2d(
         jnp,
         slice2d,
@@ -108,9 +120,22 @@ def _winnow_chunk2d_jit(
         protein=protein,
         first_chunk=first_chunk,
     )
-    # bool d2h is pathologically slow over the device tunnel (~180 s for
-    # 2 MB, vs 0.4 s for the same data as uint8) -- widen before transfer
-    return record.astype(jnp.uint8), win_hash, carry
+    R, C = record.shape
+    iota = jnp.arange(R * C, dtype=jnp.int32).reshape(R, C)
+    emit = record & (iota < take)
+    (cnt,) = layout2d.prefix_scan(
+        jnp, lambda a, b: (a[0] + b[0],), (emit.astype(jnp.int32),), (0,)
+    )
+    count = cnt[-1, -1]
+    cap_r = cap // 128
+    tgt = jnp.where(emit, cnt - 1, cap_r * 128)  # out-of-range = dump row
+    rows_t = jnp.minimum(tgt // 128, cap_r)
+    cols_t = tgt % 128
+    out_h = jnp.zeros((cap_r + 1, 128), jnp.uint32)
+    out_p = jnp.zeros((cap_r + 1, 128), jnp.int32)
+    out_h = out_h.at[rows_t, cols_t].set(win_hash)
+    out_p = out_p.at[rows_t, cols_t].set(iota + base)
+    return out_h[:cap_r], out_p[:cap_r], count, carry
 
 
 def winnow_long_sequence(
@@ -133,6 +158,9 @@ def winnow_long_sequence(
     R = w2d.chunk_slice_rows(B, w, k)
     L = R * 128
 
+    # minimizer density is ~2/(w+1); cap sized 2x that, with overflow retry
+    cap = max(1024, (-(-4 * B // (w + 1)) // 128) * 128)
+
     carry = (
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
@@ -144,23 +172,31 @@ def winnow_long_sequence(
         sl = np.zeros(L, dtype=np.uint8)
         avail = data_np[base : base + L]
         sl[: avail.shape[0]] = avail
-        record, win_hash, carry = _winnow_chunk2d_jit(
-            jnp.asarray(sl.reshape(R, 128)),
-            np.int32(n_pos - base),
-            np.int32(base),
-            carry,
-            k,
-            w,
-            B,
-            protein,
-            base == 0,
-        )
+        slice_dev = jnp.asarray(sl.reshape(R, 128))
         take = min(B, n_windows - base)
-        rec = np.asarray(record).ravel()[:take]
-        wh = np.asarray(win_hash).ravel()[:take]
-        sel = np.flatnonzero(rec)
-        out_h.append(wh[sel])
-        out_p.append((sel + base).astype(np.int32))
+        chunk_cap = cap
+        while True:
+            oh, op, count, new_carry = _winnow_chunk2d_jit(
+                slice_dev,
+                np.int32(n_pos - base),
+                np.int32(base),
+                np.int32(take),
+                carry,
+                k,
+                w,
+                B,
+                protein,
+                base == 0,
+                chunk_cap,
+            )
+            n = int(count)
+            if n <= chunk_cap:
+                break
+            # overflow (pathologically dense minimizers): retry bigger
+            chunk_cap = (-(-n // 128)) * 128
+        carry = new_carry
+        out_h.append(np.asarray(oh).ravel()[:n])
+        out_p.append(np.asarray(op).ravel()[:n])
     return (
         np.concatenate(out_h) if out_h else np.zeros(0, np.uint32),
         np.concatenate(out_p) if out_p else np.zeros(0, np.int32),

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.jaxconfig import configure as _configure_jax
 
@@ -28,7 +29,10 @@ _configure_jax()
 
 __all__ = ["l1_candidates_device"]
 
-_BIG = jnp.int32(2**30)
+# numpy scalar, NOT jnp: module-level jnp arrays become device-committed
+# after one execution and then get lifted into extra executable parameters
+# on re-trace, which this platform's dispatch fast path drops
+_BIG = np.int32(2**30)
 
 
 @functools.partial(jax.jit, static_argnames=("hmax", "ivmax", "l"))
@@ -46,8 +50,9 @@ def l1_candidates_device(
     ivmax: int,
     l: int,
 ):
-    """Returns (iv_seq, iv_c0, iv_c1, iv_valid, overflow) with shapes
-    (F, ivmax) x3, (F, ivmax) bool, (F,) bool."""
+    """Returns (iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv):
+    (F, ivmax) x3, (F, ivmax) bool, and two scalar bools flagging which
+    static budget (hmax / ivmax) overflowed."""
     F, S = q_sorted.shape
     M = post_seqid.shape[0]
     U = uniq_hash.shape[0]
@@ -68,13 +73,19 @@ def l1_candidates_device(
     # --- gather posting rows into a padded per-fragment hit buffer ----------
     off_end = jnp.cumsum(lens, axis=1)  # (F, S) exclusive-end offsets
     total = off_end[:, -1]  # (F,)
-    overflow = total > hmax
+    ovf_hits = jnp.any(total > hmax)
 
     h_idx = jnp.arange(hmax, dtype=jnp.int32)[None, :]  # (1, H)
-    # segment owning output slot h: first seg with off_end > h
-    seg = jax.vmap(lambda oe, h: jnp.searchsorted(oe, h, side="right"))(
-        off_end, jnp.broadcast_to(h_idx, (F, hmax))
-    )  # (F, H)
+    # segment owning output slot h: first seg with off_end > h.  Built by
+    # scattering each non-empty segment's id at its begin offset and
+    # cummax-filling forward -- much cheaper on TPU than a binary search
+    # per output slot.
+    off_begin = off_end - lens  # (F, S)
+    s_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (F, S))
+    scat_col = jnp.where(lens > 0, jnp.minimum(off_begin, hmax), hmax)
+    seg = jnp.zeros((F, hmax + 1), jnp.int32)
+    seg = seg.at[jnp.arange(F, dtype=jnp.int32)[:, None], scat_col].max(s_ids)
+    seg = jax.lax.cummax(seg[:, :hmax], axis=1)  # (F, H)
     seg_c = jnp.clip(seg, 0, S - 1)
     seg_begin = off_end[jnp.arange(F)[:, None], seg_c] - lens[
         jnp.arange(F)[:, None], seg_c
@@ -104,22 +115,25 @@ def l1_candidates_device(
     cand_start = jnp.maximum(0, pos_j2 - l + 1)
     cand_end = hit_pos
 
-    # --- compact valid candidates to the front ------------------------------
-    order_key = jnp.where(cand_ok, j_idx, _BIG)
-    perm = jnp.argsort(order_key, axis=1)  # stable, valid first in order
-    cseq = jnp.take_along_axis(jnp.where(cand_ok, hit_seq, _BIG), perm, axis=1)
-    cstart = jnp.take_along_axis(jnp.where(cand_ok, cand_start, _BIG), perm, axis=1)
-    cend = jnp.take_along_axis(jnp.where(cand_ok, cand_end, -_BIG), perm, axis=1)
-    cvalid = jnp.take_along_axis(cand_ok, perm, axis=1)
-
-    # --- merge overlapping candidates ---------------------------------------
-    prev_seq = jnp.concatenate([jnp.full((F, 1), -1, jnp.int32), cseq[:, :-1]], axis=1)
-    prev_end = jnp.concatenate([jnp.full((F, 1), -_BIG, jnp.int32), cend[:, :-1]], axis=1)
-    boundary = cvalid & ((cseq != prev_seq) | (cstart > prev_end))
+    # --- merge overlapping candidates (in place) ----------------------------
+    # candidates are already in (seq, pos) order; the previous *valid*
+    # candidate is found with an exclusive cummax scan instead of an
+    # argsort compaction (argsort + gathers dominated this stage on TPU)
+    marked = jnp.where(cand_ok, j_idx, jnp.int32(-1))
+    prev_idx = jnp.concatenate(
+        [jnp.full((F, 1), -1, jnp.int32), jax.lax.cummax(marked, axis=1)[:, :-1]],
+        axis=1,
+    )
+    prev_c = jnp.clip(prev_idx, 0, hmax - 1)
+    prev_seq = jnp.take_along_axis(hit_seq, prev_c, axis=1)
+    prev_end = jnp.take_along_axis(hit_pos, prev_c, axis=1)
+    boundary = cand_ok & (
+        (prev_idx < 0) | (hit_seq != prev_seq) | (cand_start > prev_end)
+    )
     iv_id = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1  # (F, H)
-    iv_id = jnp.where(cvalid, iv_id, -1)
+    iv_id = jnp.where(cand_ok, iv_id, -1)
     n_iv = jnp.max(iv_id, axis=1) + 1  # (F,)
-    overflow = overflow | (n_iv > ivmax)
+    ovf_iv = jnp.any(n_iv > ivmax)
 
     # segment-reduce candidate members into interval slots
     flat_seg = jnp.where(
@@ -128,15 +142,21 @@ def l1_candidates_device(
         F * ivmax,
     ).reshape(-1)
     iv_seq = jax.ops.segment_min(
-        cseq.reshape(-1), flat_seg, num_segments=F * ivmax + 1
+        jnp.where(cand_ok, hit_seq, _BIG).reshape(-1),
+        flat_seg,
+        num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_c0 = jax.ops.segment_min(
-        cstart.reshape(-1), flat_seg, num_segments=F * ivmax + 1
+        jnp.where(cand_ok, cand_start, _BIG).reshape(-1),
+        flat_seg,
+        num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_c1 = jax.ops.segment_max(
-        cend.reshape(-1), flat_seg, num_segments=F * ivmax + 1
+        jnp.where(cand_ok, cand_end, -_BIG).reshape(-1),
+        flat_seg,
+        num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_valid = (
         jnp.arange(ivmax, dtype=jnp.int32)[None, :] < jnp.minimum(n_iv, ivmax)[:, None]
     )
-    return iv_seq, iv_c0, iv_c1, iv_valid, overflow
+    return iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv

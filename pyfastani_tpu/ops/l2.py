@@ -1,4 +1,4 @@
-"""Batched L2 stage: sliding union-sketch intersection as MXU matmuls.
+"""Batched L2 stage: sliding union-sketch intersection as an event scan.
 
 The reference evaluates, for each L1 candidate region, the shared-sketch
 count at every window offset with an ordered-map sliding intersection
@@ -6,16 +6,21 @@ count at every window offset with an ordered-map sliding intersection
 at ``include/fastani/map/compute_map.pxd:30-51``); the effective count is
 ``|Sq ∩ window|`` (containment -- see the note in
 ``_engine_np._l2_shared_curve``, forced by the exact-100.0 self-query
-goldens).  Pointer-chasing over a ``std::map`` has no TPU analogue;
-instead the computation is one dense contraction per
-(offset-chunk x ref-minimizer x sketch-hash) block:
+goldens).  Pointer-chasing over a ``std::map`` has no TPU analogue.
 
-    present[c, i] = (InWin @ P) >= 1      (query hash i in ref window c)
-    shared[c]     = sum_i present[c, i]
+Formulation here: *presence events*.  A ref minimizer occurrence ``p``
+whose hash is in the query sketch makes that hash present in every window
+offset ``c ∈ [p - cmw + 1, p]``.  Distinctness (a hash occurring several
+times in one window counts once) is handled by clipping each occurrence's
+interval at the previous same-hash occurrence:
 
-All matrices are 0/1 in float32 (counts < 2^24, exact), so the contraction
-rides the MXU.  Intervals longer than the chunk size are split into chunks;
-(max, first-argmax, last-argmax) merge associatively across chunks.
+    start_j = max(p_j - cmw + 1, p_{j-1, same hash} + 1)
+
+which makes per-hash intervals disjoint while preserving their union.  The
+shared count for every offset of a candidate interval is then one
+difference-array scatter (+1 at start, -1 past end) and a cumulative sum --
+O(R + C) per interval instead of the dense O(C x R x S) contraction, and
+entirely VPU-friendly (compare, sort, scatter-add, cumsum).
 
 Outputs are integers only -- identity and gate math happen on the host in
 one shared float32 code path, so host and device engines agree bitwise.
@@ -33,15 +38,85 @@ from ..utils.jaxconfig import configure as _configure_jax
 
 _configure_jax()
 
-__all__ = ["l2_chunk_scan"]
+__all__ = ["l2_chunk_scan", "l2_event_curve"]
 
-_UMAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalars, NOT jnp: module-level jnp arrays become device-committed
+# after one execution and then get lifted into extra executable parameters
+# on re-trace, which this platform's dispatch fast path drops
+_UMAX = np.uint32(0xFFFFFFFF)
+_BIG = np.int32(2**30)
 _SLAB = 16  # chunks processed per inner step to bound memory
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cmax", "rmax", "smax", "cmw")
-)
+def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
+    """Shared-sketch curve extrema for a slab of interval chunks.
+
+    Args:
+        q: (B, S) u32 per-chunk query sketches (ascending, UMAX pad).
+        s: (B,) i32 sketch sizes.
+        rh/rp: (B, R) u32/i32 ref minimizer hashes / window positions for
+            each chunk's range, position-ordered; ``valid_j`` masks real
+            entries.
+        c0: (B,) i32 first window offset of the chunk.
+        clen: (B,) i32 number of offsets (<= cmax); 0 disables the chunk.
+        cmax: static offset budget.
+        cmw: window width in k-mer positions.
+
+    Returns:
+        (best, first, last): (B,) i32 -- the max of
+        ``shared(c) = |Sq ∩ {hashes of ref minis with rp in [c, c+cmw)}|``
+        over ``c in [c0, c0+clen)`` and the absolute first/last offsets
+        attaining it.  ``best`` is -1 where the chunk has no offsets.
+    """
+    B, R = rh.shape
+    S = q.shape[1]
+
+    # sort each chunk's minis by (hash, pos) so the previous same-hash
+    # occurrence is the left neighbor; invalid entries sort to the end
+    rp_s = jnp.where(valid_j, rp, _BIG)
+    rh_k, rp_k, valid_k = jax.lax.sort(
+        (rh, rp_s, valid_j.astype(jnp.int32)), num_keys=2
+    )
+    prev_h = jnp.concatenate([jnp.full((B, 1), _UMAX, rh_k.dtype), rh_k[:, :-1]], 1)
+    prev_p = jnp.concatenate([jnp.full((B, 1), -_BIG, rp_k.dtype), rp_k[:, :-1]], 1)
+    same = (prev_h == rh_k) & (prev_p < _BIG)
+    start = jnp.maximum(rp_k - (cmw - 1), jnp.where(same, prev_p + 1, -_BIG))
+
+    # hash membership in the query sketch (dense compare, VPU)
+    i_idx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    valid_i = i_idx < s[:, None, None]
+    in_q = jnp.any((q[:, None, :] == rh_k[:, :, None]) & valid_i, axis=2)
+
+    # difference-array events over local offsets t = c - c0
+    t_start = start - c0[:, None]
+    t_end = rp_k - c0[:, None]  # inclusive
+    cond = (
+        in_q
+        & (valid_k > 0)
+        & (t_end >= 0)
+        & (t_start <= clen[:, None] - 1)
+    )
+    plus = jnp.clip(t_start, 0, cmax)
+    minus = jnp.clip(t_end + 1, 0, cmax)
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+    unit = cond.astype(jnp.int32)
+    ev = jnp.zeros((B, cmax + 1), jnp.int32)
+    ev = ev.at[rows, plus].add(unit)
+    ev = ev.at[rows, minus].add(-unit)
+    shared = jnp.cumsum(ev[:, :cmax], axis=1)
+
+    off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
+    off_ok = off < clen[:, None]
+    shared = jnp.where(off_ok, shared, jnp.int32(-1))
+
+    best = jnp.max(shared, axis=1)
+    is_best = shared == best[:, None]
+    first = jnp.min(jnp.where(is_best, off, _BIG), axis=1)
+    last = jnp.max(jnp.where(is_best, off, -_BIG), axis=1)
+    return best, c0 + first, c0 + last
+
+
+@functools.partial(jax.jit, static_argnames=("cmax", "rmax", "cmw"))
 def _l2_chunks_impl(
     q_sorted,  # (F, S) u32 per-fragment sketch hashes, ascending, UMAX pad
     s_sizes,  # (F,) i32
@@ -54,72 +129,26 @@ def _l2_chunks_impl(
     chunk_rlen,  # (N,) i32 number of ref minimizers (<= rmax)
     cmax: int,
     rmax: int,
-    smax: int,
     cmw: int,
 ):
     M = mini_hash.shape[0]
 
     def slab(args):
         frag, c0, clen, lo, rlen = args
-        B = frag.shape[0]
-
-        # gather ref minimizers for each chunk
-        j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]  # (1, R)
+        j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
         valid_j = j_idx < rlen[:, None]
         gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
         rh = jnp.where(valid_j, mini_hash[gidx], _UMAX)
-        rp = jnp.where(valid_j, mini_wpos[gidx], jnp.int32(-(10**9)))
-
-        q = q_sorted[frag]  # (B, S)
-        s = s_sizes[frag]  # (B,)
-
-        # rank of each ref hash within the query sketch
-        i_idx = jnp.arange(smax, dtype=jnp.int32)[None, None, :]  # (1,1,S)
-        valid_i = i_idx < s[:, None, None]  # (B,1,S)
-        qrank = jnp.sum(
-            (q[:, None, :] < rh[:, :, None]) & valid_i, axis=2
-        ).astype(jnp.int32)  # (B, R)
-        in_q = jnp.any(
-            (q[:, None, :] == rh[:, :, None]) & valid_i, axis=2
-        ) & valid_j  # (B, R)
-
-        # P[j, i] = 1 iff ref mini j realizes query hash i
-        i2 = jnp.arange(smax, dtype=jnp.int32)[None, None, :]
-        P = (in_q[:, :, None] & (i2 == qrank[:, :, None])).astype(jnp.float32)
-
-        # window membership per offset
-        c = c0[:, None] + jnp.arange(cmax, dtype=jnp.int32)[None, :]  # (B,C)
-        in_win = (
-            (rp[:, None, :] >= c[:, :, None])
-            & (rp[:, None, :] < c[:, :, None] + cmw)
-            & valid_j[:, None, :]
-        ).astype(jnp.float32)  # (B, C, R)
-
-        present = (
-            jnp.einsum("bcr,brs->bcs", in_win, P, preferred_element_type=jnp.float32)
-            >= 1.0
+        rp = jnp.where(valid_j, mini_wpos[gidx], _BIG)
+        return l2_event_curve(
+            q_sorted[frag], s_sizes[frag], rh, rp, valid_j, c0, clen, cmax, cmw
         )
-        shared = jnp.sum(present, axis=2).astype(jnp.int32)  # (B,C)
-
-        # mask offsets beyond the chunk length
-        off_ok = jnp.arange(cmax, dtype=jnp.int32)[None, :] < clen[:, None]
-        shared = jnp.where(off_ok, shared, jnp.int32(-1))
-
-        best = jnp.max(shared, axis=1)
-        off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
-        is_best = shared == best[:, None]
-        first = jnp.min(jnp.where(is_best, off, jnp.int32(2**30)), axis=1)
-        last = jnp.max(jnp.where(is_best, off, jnp.int32(-1)), axis=1)
-        return best, c0 + first, c0 + last
 
     N = chunk_frag.shape[0]
     n_slabs = N // _SLAB
-    args = (
-        chunk_frag.reshape(n_slabs, _SLAB),
-        chunk_c0.reshape(n_slabs, _SLAB),
-        chunk_clen.reshape(n_slabs, _SLAB),
-        chunk_lo.reshape(n_slabs, _SLAB),
-        chunk_rlen.reshape(n_slabs, _SLAB),
+    args = tuple(
+        a.reshape(n_slabs, _SLAB)
+        for a in (chunk_frag, chunk_c0, chunk_clen, chunk_lo, chunk_rlen)
     )
     best, first, last = jax.lax.map(slab, args)
     return best.reshape(N), first.reshape(N), last.reshape(N)
@@ -136,7 +165,7 @@ def l2_chunk_scan(
     mini_wpos,
     chunks: np.ndarray,
     cmw: int,
-    cmax: int = 256,
+    cmax: int = 3072,
 ):
     """Evaluate shared-sketch curves for interval chunks on device.
 
@@ -174,7 +203,6 @@ def l2_chunk_scan(
         jnp.asarray(chunks[:, 4]),
         cmax,
         rmax,
-        int(q_sorted.shape[1]),
         cmw,
     )
     return (

@@ -85,7 +85,11 @@ def nucl_canonical(xp, data, n: int, k: int, n_positions: int):
     else:
         import jax.numpy as jnp
 
-        comp = jnp.take(jnp.asarray(lut), data.astype(jnp.int32))
+        # fresh numpy copy per trace: jnp.asarray caches the conversion by
+        # object id, and the cached array becomes device-committed after one
+        # execution -- a committed capture is lifted to a hidden executable
+        # parameter that this platform's dispatch fast path then drops
+        comp = jnp.take(jnp.asarray(np.array(lut)), data.astype(jnp.int32))
         rc = comp[::-1]
         L_pad = data.shape[0]
         rc = jnp.roll(rc, -(L_pad - n))

@@ -156,7 +156,8 @@ def winnow_chunk2d(
     if protein:
         canon, valid = fwd, pos_ok
     else:
-        lut = xp.asarray(complement_table(), dtype=xp.uint8)
+        # np.array copy: see the capture-caching note in ops/winnow.py
+        lut = xp.asarray(np.array(complement_table()), dtype=xp.uint8)
         cu8 = xp.take(lut, slice2d.astype(xp.int32)).astype(xp.uint32)
         bwd = kmer_hashes2d(xp, cu8, k, rc=True)
         valid = pos_ok & (fwd != bwd)

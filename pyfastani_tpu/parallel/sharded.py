@@ -40,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import stats
 from ..ops.l1 import l1_candidates_device
+from ..ops.l2 import l2_event_curve
 
 __all__ = ["ShardedIndex", "ShardedSession", "build_sharded_index", "sharded_query"]
 
@@ -177,13 +178,13 @@ def _l2_interval_scan(
     mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
     cmw: int, cmax: int, rmax: int, ch_max: int,
 ):
-    """(best, first, last, overflow) per interval.
+    """(best, first, last, ovf_chunks, ovf_r) per interval.
 
     Work is compacted on device into per-chunk items (interval x offset
     chunk); invalid interval slots produce no work.  A ``lax.map`` over
-    chunk slabs evaluates the containment contraction on the MXU (bf16
-    inputs, f32 accumulation -- 0/1 values are exact), and per-interval
-    results merge back with segment reductions.
+    chunk slabs evaluates the shared-sketch curve with the difference-array
+    event scan (`ops.l2.l2_event_curve`), and per-interval results merge
+    back with segment reductions.
     """
     NI = iv_seq.shape[0]
     span = jnp.where(iv_valid, iv_c1 - iv_c0 + 1, 0)
@@ -210,8 +211,6 @@ def _l2_interval_scan(
 
     def slab_fn(args):
         frag, seq, base, c0, clen, valid_c = args
-        q = q_sorted[frag]  # (B, S)
-        s = s_sizes[frag]
         lo = jnp.searchsorted(mini_gpos, base + c0).astype(jnp.int32)
         hi = jnp.searchsorted(
             mini_gpos, base + jnp.minimum(c0 + clen - 1 + cmw, _BIG)
@@ -220,43 +219,18 @@ def _l2_interval_scan(
 
         j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
         gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
-        rh = mini_hash[gidx]
-        rp = mini_wpos[gidx]
         valid_j = (
             (mini_seqid[gidx] == seq[:, None])
             & (j_idx < (hi - lo)[:, None])
             & valid_c[:, None]
         )
-
-        S = q.shape[1]
-        i_idx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-        valid_i = i_idx < s[:, None, None]
-        qrank = jnp.sum((q[:, None, :] < rh[:, :, None]) & valid_i, axis=2)
-        in_q = jnp.any((q[:, None, :] == rh[:, :, None]) & valid_i, axis=2) & valid_j
-        Pm = (in_q[:, :, None] & (i_idx == qrank[:, :, None])).astype(jnp.bfloat16)
-
-        c = c0[:, None] + jnp.arange(cmax, dtype=jnp.int32)[None, :]
-        in_win = (
-            (rp[:, None, :] >= c[:, :, None])
-            & (rp[:, None, :] < c[:, :, None] + cmw)
-            & valid_j[:, None, :]
-        ).astype(jnp.bfloat16)
-        present = (
-            jnp.einsum("bcr,brs->bcs", in_win, Pm, preferred_element_type=jnp.float32)
-            >= 1.0
-        )
-        shared = jnp.sum(present, axis=2).astype(jnp.int32)
-        off_ok = (
-            jnp.arange(cmax, dtype=jnp.int32)[None, :] < clen[:, None]
-        ) & valid_c[:, None]
-        shared = jnp.where(off_ok, shared, -1)
-
-        cbest = jnp.max(shared, axis=1)
-        is_b = shared == cbest[:, None]
-        off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
-        cfirst = c0 + jnp.min(jnp.where(is_b, off, _BIG), axis=1)
-        clast = c0 + jnp.max(jnp.where(is_b, off, -_BIG), axis=1)
-        return cbest, cfirst, clast, rovf
+        rh = jnp.where(valid_j, mini_hash[gidx], jnp.uint32(0xFFFFFFFF))
+        rp = jnp.where(valid_j, mini_wpos[gidx], _BIG)
+        clen_eff = jnp.where(valid_c, clen, 0)
+        return l2_event_curve(
+            q_sorted[frag], s_sizes[frag], rh, rp, valid_j, c0, clen_eff,
+            cmax, cmw,
+        ) + (rovf,)
 
     n_slabs = ch_max // _CH_SLAB
     args = tuple(
@@ -279,24 +253,29 @@ def _l2_interval_scan(
         jnp.where(is_best, clast, -_BIG), seg, num_segments=NI + 1
     )[:NI]
     best = jnp.where(iv_valid & (n_ch > 0), best, -1)
-    return best, first, last, overflow | jnp.any(rovf)
+    return best, first, last, overflow, jnp.any(rovf)
 
 
 def _query_block_impl(
     frags,
+    frag_qg,
     uniq_hash, row_start, row_len, post_seqid, post_wpos,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
     seq_to_genome, freq_threshold,
     min_hits_table, gate_table,
     k: int, w: int, length: int, protein: bool, l: int,
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
-    g_max: int, bin_max: int, smax: int = 512,
+    g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
-    Returns (best_bin (C*bin_max,) f32 -- per-bin best identity with
-    fragment-level reciprocal filtering applied, merged across "data" by
-    the caller -- and overflow flag)."""
+    ``frag_qg`` assigns each fragment row to one of ``q_count`` query
+    genomes, so a whole batch of query genomes maps in a single dispatch
+    (the fragment axis is shared; every reduction is keyed by genome).
+
+    Returns (best_bin (q_count*C*bin_max,) f32 -- per-(query genome, ref
+    bin) best identity with fragment-level reciprocal filtering applied,
+    merged across "data" by the caller -- and overflow flag)."""
     from ..ops.fragments import _winnow_fragments_impl
 
     F = frags.shape[0]
@@ -310,22 +289,29 @@ def _query_block_impl(
     s_overflow = jnp.any(s_sizes > smax)
     q_sorted = q_sorted[:, : min(smax, q_sorted.shape[1])]
 
-    iv_seq, iv_c0, iv_c1, iv_valid, overflow = l1_candidates_device.__wrapped__(
-        q_sorted, s_sizes, uniq_hash, row_start, row_len,
-        post_seqid, post_wpos, freq_threshold, min_hits_table,
-        hmax, ivmax, l,
+    iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv = (
+        l1_candidates_device.__wrapped__(
+            q_sorted, s_sizes, uniq_hash, row_start, row_len,
+            post_seqid, post_wpos, freq_threshold, min_hits_table,
+            hmax, ivmax, l,
+        )
     )
 
     frag_of_iv = jnp.repeat(jnp.arange(F, dtype=jnp.int32), ivmax)
     # chunk budget: ~t_chunks chunks per fragment on average
     ch_max = -(-(F * t_chunks) // _CH_SLAB) * _CH_SLAB
-    best, first, last, l2_ovf = _l2_interval_scan(
+    best, first, last, ovf_ch, ovf_r = _l2_interval_scan(
         q_sorted, s_sizes,
         frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
         contig_offset, cmw, cmax, rmax, ch_max,
     )
-    overflow = jnp.any(overflow) | l2_ovf | s_overflow
+    # per-budget overflow flags: [smax, hmax, ivmax, t_chunks, rmax]
+    ovf_vec = jnp.stack([
+        s_overflow.astype(jnp.int32), ovf_hits.astype(jnp.int32),
+        ovf_iv.astype(jnp.int32), ovf_ch.astype(jnp.int32),
+        ovf_r.astype(jnp.int32),
+    ])
 
     s_iv = s_sizes[frag_of_iv]
     gate = gate_table[jnp.clip(s_iv, 0, gate_table.shape[0] - 1)]
@@ -351,12 +337,19 @@ def _query_block_impl(
     )
     keep1 = mapped & (ident == best_fg[fg])
 
-    # CGI step 2: dense per-(contig, bin) best identity
-    cbin = jnp.where(keep1, seq_c * bin_max + rbin, C * bin_max)
+    # CGI step 2: dense per-(query genome, contig, bin) best identity
+    qg_of_iv = frag_qg[frag_of_iv]
+    cbin = jnp.where(
+        keep1,
+        qg_of_iv * (C * bin_max) + seq_c * bin_max + rbin,
+        q_count * C * bin_max,
+    )
     best_bin = jax.ops.segment_max(
-        jnp.where(keep1, ident, -1.0), cbin, num_segments=C * bin_max + 1
-    )[: C * bin_max]
-    return best_bin, overflow
+        jnp.where(keep1, ident, -1.0),
+        cbin,
+        num_segments=q_count * C * bin_max + 1,
+    )[: q_count * C * bin_max]
+    return best_bin, ovf_vec
 
 
 # jitted entry for single-block use (the sharded path calls the impl inside
@@ -365,7 +358,7 @@ _query_block = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "w", "length", "protein", "l", "hmax", "ivmax", "cmax", "rmax",
-        "t_chunks", "g_max", "bin_max", "smax",
+        "t_chunks", "g_max", "bin_max", "smax", "q_count",
     ),
 )(_query_block_impl)
 
@@ -379,13 +372,13 @@ class ShardedSession:
         self,
         mapper,
         mesh: Mesh,
-        hmax: int = 2048,
-        ivmax: int = 64,
-        cmax: int = 256,
-        rmax: int = 512,
-        t_chunks: int = 32,
+        hmax: int = 1024,
+        ivmax: int = 32,
+        cmax: int = 3072,
+        rmax: int = 1024,
+        t_chunks: int = 4,
         bin_max: int = 2048,
-        smax: int = 512,
+        smax: int = 384,
     ):
         from jax import shard_map
 
@@ -412,48 +405,29 @@ class ShardedSession:
         g_max = int(sidx.genome_lengths.shape[1])
         self._g_max = g_max
 
-        def block_fn(frags_b, uniq, rstart, rlen, pseq, pwpos, mhash, mwpos,
-                     mseq, mgpos, coff, s2g, thr, mht, gt):
-            best_bin, overflow = _query_block_impl(
-                frags_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
-                mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
-                mht, gt,
-                params.kmer_size, params.window_size, l,
-                params.alphabet_size != 4, l,
-                hmax, ivmax, cmax, rmax, t_chunks, g_max, bin_max, smax,
-            )
-            best_bin = jax.lax.pmax(best_bin, "data")
-            overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
-            bin_gid = jnp.repeat(s2g[0], bin_max)
-            occupied = best_bin > 0.0
-            counts = jax.ops.segment_sum(
-                occupied.astype(jnp.int32), bin_gid, num_segments=g_max
-            )
-            isum = jax.ops.segment_sum(
-                jnp.where(occupied, best_bin, 0.0), bin_gid, num_segments=g_max
-            )
-            return counts[None], isum[None], overflow[None]
+        self._fns = {}  # q_count -> compiled shard_map program
+        # park the index on the devices once, already laid out for the
+        # shard_map program (avoids a reshard on every query dispatch)
+        from jax.sharding import NamedSharding
 
-        si = P("shard", None)
-        self._fn = jax.jit(shard_map(
-            block_fn,
-            mesh=mesh,
-            in_specs=(
-                P("data", None),
-                si, si, si, si, si, si, si, si, si, si, si, P("shard"),
-                P(None), P(None),
-            ),
-            out_specs=(P("shard", None), P("shard", None), P("shard")),
-        ))
-        # park the index on the devices once
+        sh2 = NamedSharding(mesh, P("shard", None))
+        sh1 = NamedSharding(mesh, P("shard"))
+        rep = NamedSharding(mesh, P())
         self._index_args = (
-            jnp.asarray(sidx.uniq_hash), jnp.asarray(sidx.row_start),
-            jnp.asarray(sidx.row_len), jnp.asarray(sidx.post_seqid),
-            jnp.asarray(sidx.post_wpos), jnp.asarray(sidx.mini_hash),
-            jnp.asarray(sidx.mini_wpos), jnp.asarray(sidx.mini_seqid),
-            jnp.asarray(sidx.mini_gpos), jnp.asarray(sidx.contig_offset),
-            jnp.asarray(sidx.seq_to_genome), jnp.asarray(sidx.freq_threshold),
-            jnp.asarray(mh_tab), jnp.asarray(gate_tab),
+            jax.device_put(sidx.uniq_hash, sh2),
+            jax.device_put(sidx.row_start, sh2),
+            jax.device_put(sidx.row_len, sh2),
+            jax.device_put(sidx.post_seqid, sh2),
+            jax.device_put(sidx.post_wpos, sh2),
+            jax.device_put(sidx.mini_hash, sh2),
+            jax.device_put(sidx.mini_wpos, sh2),
+            jax.device_put(sidx.mini_seqid, sh2),
+            jax.device_put(sidx.mini_gpos, sh2),
+            jax.device_put(sidx.contig_offset, sh2),
+            jax.device_put(sidx.seq_to_genome, sh2),
+            jax.device_put(sidx.freq_threshold, sh1),
+            jax.device_put(np.asarray(mh_tab), rep),
+            jax.device_put(np.asarray(gate_tab), rep),
         )
 
     def _fragments(self, contigs):
@@ -476,46 +450,171 @@ class ShardedSession:
             total_length += slen
         return frag_list, total_fragments, total_length
 
-    def query(self, contigs, frag_bucket: int | None = None):
-        """Query one genome; returns `Hit`s like `Mapper.query_draft`."""
+    def _get_fn(self, q_count: int):
+        """Compile (or fetch) the shard_map program for a query-batch size."""
+        if q_count in self._fns:
+            return self._fns[q_count]
+        from jax import shard_map
+
+        params = self.params
+        l = params.min_read_length
+        b = self.budgets
+        g_max = self._g_max
+        bin_max = b["bin_max"]
+
+        def block_fn(frags_b, qg_b, qg_marker, uniq, rstart, rlen, pseq,
+                     pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, mht, gt):
+            best_bin, ovf_vec = _query_block_impl(
+                frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
+                mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
+                mht, gt,
+                params.kmer_size, params.window_size, l,
+                params.alphabet_size != 4, l,
+                b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
+                g_max, bin_max, b["smax"], q_count,
+            )
+            best_bin = jax.lax.pmax(best_bin, "data")
+            ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
+            # qg_marker's shape (q_count,) keys this program variant apart:
+            # variants with identical input avals collide in the platform's
+            # remote executable cache (see _get_fn)
+            ovf_vec = ovf_vec + 0 * qg_marker.sum()
+            C = s2g.shape[1]
+            bin_gid = jnp.tile(jnp.repeat(s2g[0], bin_max), q_count)
+            bin_qg = jnp.repeat(
+                jnp.arange(q_count, dtype=jnp.int32), C * bin_max
+            )
+            key = bin_qg * g_max + bin_gid
+            occupied = best_bin > 0.0
+            counts = jax.ops.segment_sum(
+                occupied.astype(jnp.int32), key, num_segments=q_count * g_max
+            ).reshape(q_count, g_max)
+            isum = jax.ops.segment_sum(
+                jnp.where(occupied, best_bin, 0.0),
+                key,
+                num_segments=q_count * g_max,
+            ).reshape(q_count, g_max)
+            return counts[None], isum[None], ovf_vec[None]
+
+        # the q_count variants would otherwise share input avals, and
+        # identically-shaped programs collide in this platform's executable
+        # cache (a later variant's call can receive the other variant's
+        # executable and fail with a buffer-count mismatch); qg_marker
+        # makes each variant's input signature unique
+        block_fn.__name__ = f"block_fn_q{q_count}"
+        block_fn.__qualname__ = block_fn.__name__
+
+        si = P("shard", None)
+        fn = jax.jit(shard_map(
+            block_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P("data", None), P("data"), P(None),
+                si, si, si, si, si, si, si, si, si, si, si, P("shard"),
+                P(None), P(None),
+            ),
+            out_specs=(
+                P("shard", None, None), P("shard", None, None),
+                P("shard", None),
+            ),
+        ))
+        self._fns[q_count] = fn
+        return fn
+
+    def query_many(self, genomes, frag_bucket: int | None = None):
+        """Query a batch of genomes in one device dispatch.
+
+        Args:
+            genomes: iterable of genomes, each an iterable of contigs
+                (`str`/`bytes`/buffer).  The whole batch is fragmented into
+                one device program, so per-dispatch costs amortize across
+                genomes -- use this for all-vs-all workloads.
+
+        Returns:
+            `list` of `list` of `Hit`: one hit list per query genome, each
+            sorted by descending identity (same contract as
+            `Mapper.query_draft`).
+        """
         from ..models._types import Hit
 
         params = self.params
         l = params.min_read_length
-        frag_list, total_fragments, total_length = self._fragments(contigs)
-        if not frag_list:
+        per_genome = []  # (frag_list, total_fragments, total_length)
+        for contigs in genomes:
+            per_genome.append(self._fragments(contigs))
+        q_count = len(per_genome)
+        if q_count == 0:
             return []
-        F = len(frag_list)
-        Fb = -(-F // self.n_data) * self.n_data
+        # pad the genome-batch axis to a power of two (bounded compiles)
+        qb = 1 << max(0, q_count - 1).bit_length() if q_count > 1 else 1
+
+        F = sum(len(p[0]) for p in per_genome)
+        if F == 0:
+            return [[] for _ in per_genome]
+        # bucket the padded fragment count so batches of similar size reuse
+        # one compiled program shape (128-fragment granularity)
+        Fb = max(-(-F // 128) * 128, self.n_data)
+        Fb = -(-Fb // self.n_data) * self.n_data
         if frag_bucket:
             Fb = max(Fb, -(-frag_bucket // self.n_data) * self.n_data)
         frags = np.zeros((Fb, l + 4), dtype=np.uint8)
-        for i, f in enumerate(frag_list):
-            frags[i, :l] = f
+        frag_qg = np.zeros(Fb, dtype=np.int32)
+        row = 0
+        for qg, (frag_list, _, _) in enumerate(per_genome):
+            for f in frag_list:
+                frags[row, :l] = f
+                frag_qg[row] = qg
+                row += 1
 
-        counts, isum, overflow = self._fn(jnp.asarray(frags), *self._index_args)
-        counts = np.asarray(counts)
-        isum = np.asarray(isum)
-        if int(np.asarray(overflow).max()) > 0:
-            raise RuntimeError(
-                "sharded query budget overflow; raise hmax/ivmax/rmax/t_chunks"
+        # run; on a static-budget overflow, escalate the specific budget and
+        # recompile (rare -- the defaults cover typical bacterial workloads)
+        budget_names = ["smax", "hmax", "ivmax", "t_chunks", "rmax"]
+        for attempt in range(6):
+            fn = self._get_fn(qb)
+            counts, isum, ovf = fn(
+                jnp.asarray(frags),
+                jnp.asarray(frag_qg),
+                jnp.zeros(qb, jnp.int32),
+                *self._index_args,
             )
+            ovf = np.asarray(ovf).max(axis=0)  # (5,) over shards
+            if not ovf.any():
+                break
+            blown = [budget_names[i] for i in np.flatnonzero(ovf)]
+            if attempt == 5:
+                raise RuntimeError(
+                    f"sharded query budget overflow persists for {blown}"
+                )
+            for name in blown:
+                self.budgets[name] *= 2
+            self._fns.clear()
+        counts = np.asarray(counts)  # (n_shard, qb, g_max)
+        isum = np.asarray(isum)
 
         sidx = self.sidx
-        hits = []
-        for sh in range(sidx.n_shards):
-            for gi, name in enumerate(sidx.genome_names[sh]):
-                c = int(counts[sh, gi])
-                if c == 0:
-                    continue
-                identity = float(np.float32(isum[sh, gi] / np.float32(c)))
-                min_length = min(total_length, int(sidx.genome_lengths[sh, gi]))
-                if np.float32(c * l) >= np.float32(min_length) * np.float32(
-                    params.min_fraction
-                ):
-                    hits.append(Hit(name, identity, c, total_fragments))
-        hits.sort(key=lambda h: h.identity, reverse=True)
-        return hits
+        results = []
+        for qg, (_, total_fragments, total_length) in enumerate(per_genome):
+            hits = []
+            for sh in range(sidx.n_shards):
+                for gi, name in enumerate(sidx.genome_names[sh]):
+                    c = int(counts[sh, qg, gi])
+                    if c == 0:
+                        continue
+                    identity = float(np.float32(isum[sh, qg, gi] / np.float32(c)))
+                    min_length = min(
+                        total_length, int(sidx.genome_lengths[sh, gi])
+                    )
+                    if np.float32(c * l) >= np.float32(min_length) * np.float32(
+                        params.min_fraction
+                    ):
+                        hits.append(Hit(name, identity, c, total_fragments))
+            hits.sort(key=lambda h: h.identity, reverse=True)
+            results.append(hits)
+        return results
+
+    def query(self, contigs, frag_bucket: int | None = None):
+        """Query one genome; returns `Hit`s like `Mapper.query_draft`."""
+        return self.query_many([contigs], frag_bucket=frag_bucket)[0]
 
 
 def sharded_query(mapper, contigs, mesh: Mesh, **budgets):

@@ -64,3 +64,42 @@ def test_sharded_self_query():
     assert hits[0].name == "g1"
     assert hits[0].identity == 100.0
     assert hits[0].matches == hits[0].fragments == 15
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_query_many_matches_per_genome():
+    """A batched multi-genome dispatch returns the same hits as one
+    dispatch per genome (and as the host engine)."""
+    from pyfastani_tpu.parallel.sharded import ShardedSession
+
+    rng = np.random.default_rng(23)
+    refs = [_rand_genome(rng, n) for n in (30_000, 24_000, 27_000)]
+    queries = [
+        _mutate(rng, refs[0], 0.03),
+        _mutate(rng, refs[2], 0.05),
+        _rand_genome(rng, 20_000),  # unrelated: expect no hits
+    ]
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+
+    mesh = make_mesh(2, 4)
+    sess = ShardedSession(
+        mapper, mesh,
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64,
+        smax=256,
+    )
+    batched = sess.query_many([[q] for q in queries])
+    assert len(batched) == 3
+    for q, hits in zip(queries, batched):
+        single = sess.query([q])
+        assert hits == single
+        expected = mapper.query_genome(q)
+        assert [(h.name, h.matches, h.fragments) for h in hits] == [
+            (h.name, h.matches, h.fragments) for h in expected
+        ]
+        for h, e in zip(hits, expected):
+            assert abs(h.identity - e.identity) < 2e-4
+    assert batched[2] == []
