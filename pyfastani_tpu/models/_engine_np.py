@@ -120,12 +120,20 @@ def build_index(
     sorted_hash = mini_hash[order]
     post_seqid = mini_seqid[order]
     post_wpos = mini_wpos[order]
-    uniq_hash, first_idx, counts = np.unique(
-        sorted_hash, return_index=True, return_counts=True
-    )
-    uniq_hash = uniq_hash.astype(np.uint32)
-    row_start = first_idx.astype(np.int64)
-    row_len = counts.astype(np.int32)
+    # group boundaries on the already-sorted array (np.unique would sort again)
+    n = sorted_hash.shape[0]
+    if n:
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(sorted_hash[1:], sorted_hash[:-1], out=new[1:])
+        first_idx = np.flatnonzero(new)
+        uniq_hash = sorted_hash[first_idx].astype(np.uint32)
+        row_start = first_idx.astype(np.int64)
+        row_len = np.diff(np.append(first_idx, n)).astype(np.int32)
+    else:
+        uniq_hash = np.zeros(0, np.uint32)
+        row_start = np.zeros(0, np.int64)
+        row_len = np.zeros(0, np.int32)
     return PostingIndex(
         mini_hash=mini_hash,
         mini_seqid=mini_seqid,

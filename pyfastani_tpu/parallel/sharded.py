@@ -92,7 +92,21 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         loads[tgt] += counts[g]
 
     shards = []
-    for sh in range(n_shards):
+    if n_shards == 1:
+        # fast path: the whole Mapper index IS the single shard (contig ids
+        # are already dense and position order is preserved) -- skip the
+        # per-genome re-partition + re-sort
+        n_ctg_total = int(sbf[-1]) if n_genomes else 0
+        seq_to_genome = np.searchsorted(sbf, np.arange(n_ctg_total), side="right")
+        shards.append(
+            (
+                idx,
+                [int(g) for g in seq_to_genome],
+                list(mapper._names),
+                [int(x) for x in mapper._lengths],
+            )
+        )
+    for sh in range(n_shards if n_shards > 1 else 0):
         genomes = np.flatnonzero(shard_of == sh)
         mh, ms, mw = [], [], []
         seq_to_genome = []
@@ -557,8 +571,18 @@ class ShardedSession:
         Fb = -(-Fb // self.n_data) * self.n_data
         if frag_bucket:
             Fb = max(Fb, -(-frag_bucket // self.n_data) * self.n_data)
-        frags = np.zeros((Fb, l + 4), dtype=np.uint8)
-        frag_qg = np.zeros(Fb, dtype=np.int32)
+        # reuse the staging buffers across calls: fresh page allocation is
+        # ~50 MB/s in this sandbox, so zeroing a recycled buffer is much
+        # cheaper than allocating a new one per query
+        buf = getattr(self, "_frag_buf", None)
+        if buf is None or buf[0].shape[0] < Fb:
+            self._frag_buf = buf = (
+                np.zeros((Fb, l + 4), dtype=np.uint8),
+                np.zeros(Fb, dtype=np.int32),
+            )
+        frags, frag_qg = buf[0][:Fb], buf[1][:Fb]
+        frags[F:] = 0
+        frag_qg[F:] = 0
         row = 0
         for qg, (frag_list, _, _) in enumerate(per_genome):
             for f in frag_list:

@@ -240,6 +240,45 @@ def recommended_window_size(
 # --- Device-side lookup tables ---------------------------------------------
 
 
+def _table_cache_load(name: str, s_max: int, k: int, perc_identity: float):
+    """On-disk cache for the device lookup tables.
+
+    The tables are exact integer functions of (s_max, k, percentage
+    identity) but cost seconds of float64 binomial work to derive (the
+    gate table alone is ~s_max^2 log s_max CDF evaluations); sessions
+    rebuild them per process, so persist like the XLA compile cache.
+    Set PYFASTANI_TPU_CACHE_DIR=0 to disable.
+    """
+    import os
+
+    root = os.environ.get("PYFASTANI_TPU_CACHE_DIR", "/tmp/jax_cache_pyfastani_tpu")
+    if not root or root == "0":
+        return None, None
+    path = os.path.join(
+        root, f"stats_{name}_{s_max}_{k}_{float(perc_identity):.6g}.npy"
+    )
+    if os.path.exists(path):
+        try:
+            return np.load(path), path
+        except Exception:
+            return None, path
+    return None, path
+
+
+def _table_cache_store(path, table):
+    if not path:
+        return
+    import os
+
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}.npy"
+        np.save(tmp, table)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 @functools.lru_cache(maxsize=64)
 def min_hits_relaxed_table(s_max: int, k: int, perc_identity: float) -> np.ndarray:
     """``estimate_minimum_hits_relaxed(s)`` for s = 0..s_max, as int32.
@@ -247,9 +286,13 @@ def min_hits_relaxed_table(s_max: int, k: int, perc_identity: float) -> np.ndarr
     Gathered per fragment on device: the L1 stage needs the relaxed hit
     count for the fragment's actual sketch size.
     """
+    cached, path = _table_cache_load("minhits", s_max, k, perc_identity)
+    if cached is not None:
+        return cached
     out = np.zeros(s_max + 1, dtype=np.int32)
     for s in range(1, s_max + 1):
         out[s] = estimate_minimum_hits_relaxed(s, k, float(perc_identity))
+    _table_cache_store(path, out)
     return out
 
 
@@ -264,6 +307,9 @@ def l2_gate_table(s_max: int, k: int, perc_identity: float) -> np.ndarray:
     whole gate becomes one device gather + compare.
     Entries are ``s_max + 2`` ("impossible") when no count passes.
     """
+    cached, path = _table_cache_load("l2gate", s_max, k, perc_identity)
+    if cached is not None:
+        return cached
     out = np.full(s_max + 1, s_max + 2, dtype=np.int32)
     pi32 = np.float32(perc_identity)
     for s in range(1, s_max + 1):
@@ -277,4 +323,5 @@ def l2_gate_table(s_max: int, k: int, perc_identity: float) -> np.ndarray:
                 lo = mid + 1
         if lo <= s:
             out[s] = lo
+    _table_cache_store(path, out)
     return out
