@@ -5,6 +5,7 @@ setup(
     version="0.1.0",
     description="TPU-native whole-genome ANI engine (FastANI method)",
     packages=find_packages(include=["pyfastani_tpu", "pyfastani_tpu.*"]),
+    package_data={"pyfastani_tpu": ["py.typed", "**/*.pyi"]},
     ext_modules=[
         Extension(
             "pyfastani_tpu._native._native",
