@@ -78,6 +78,8 @@ def query_contigs(mapper, contig_arrays):
     q_sorted, s_sizes = frag_ops.winnow_fragments(
         frags, k, w, params.alphabet_size != 4
     )
+    if s_sizes.min(initial=0) < 0:
+        raise RuntimeError("fragment minimizer record count exceeded 1024")
     q_sorted, s_sizes = q_sorted[:F], s_sizes[:F]
     s_max = int(s_sizes.max(initial=1))
     Sb = _bucket(s_max)

@@ -74,6 +74,11 @@ class PostingIndex:
     post_seqid: np.ndarray  # i32 (M,)
     post_wpos: np.ndarray  # i32 (M,)
     freq_threshold: int
+    # bucket prefix over uniq_hash's high 16 bits: hash_bucket[b] is the
+    # first row whose hash >> 16 >= b (65537 entries).  Device probes
+    # binary-search only within a bucket (~log2(M/2^16) steps vs ~21).
+    hash_bucket: np.ndarray = None  # i32 (65537,)
+    bucket_steps: int = 0
 
     @property
     def n_minimizers(self) -> int:
@@ -134,6 +139,10 @@ def build_index(
         uniq_hash = np.zeros(0, np.uint32)
         row_start = np.zeros(0, np.int64)
         row_len = np.zeros(0, np.int32)
+    high = (uniq_hash >> np.uint32(16)).astype(np.int64)
+    hash_bucket = np.searchsorted(high, np.arange(65537)).astype(np.int32)
+    max_bucket = int(np.diff(hash_bucket).max(initial=0))
+    bucket_steps = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
     return PostingIndex(
         mini_hash=mini_hash,
         mini_seqid=mini_seqid,
@@ -144,6 +153,8 @@ def build_index(
         post_seqid=post_seqid,
         post_wpos=post_wpos,
         freq_threshold=compute_freq_threshold(row_len),
+        hash_bucket=hash_bucket,
+        bucket_steps=bucket_steps,
     )
 
 

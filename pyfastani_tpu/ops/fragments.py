@@ -28,12 +28,19 @@ _UMAX = np.uint32(0xFFFFFFFF)  # numpy, not jnp: see note in ops/l2.py
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "w", "length", "protein")
+    jax.jit, static_argnames=("k", "w", "length", "protein", "kc")
 )
-def _winnow_fragments_impl(frags, k: int, w: int, length: int, protein: bool):
-    """frags: (F, length + pad) uint8 -> (record (F,P) bool, hash (F,P) u32,
-    q_sorted (F,P) u32 sketch hashes sorted ascending with UMAX padding,
-    s (F,) int32 sketch sizes)."""
+def _winnow_fragments_impl(
+    frags, k: int, w: int, length: int, protein: bool, kc: int = 1024
+):
+    """frags: (F, length + pad) uint8 -> (rec_ovf bool, hash (F,P) u32,
+    q_sorted (F, min(kc, P)) u32 sketch hashes sorted ascending with UMAX
+    padding, s (F,) int32 sketch sizes).
+
+    ``kc`` bounds the returned sketch width; ``rec_ovf`` flags fragments
+    whose unique-hash count exceeded it (caller escalates).  (A
+    scatter-compaction before the sort was tried and is slower than the
+    wide sort on this platform -- TPU scatters serialize.)"""
     n_pos = length - k + 1
 
     def one(frag):
@@ -54,16 +61,21 @@ def _winnow_fragments_impl(frags, k: int, w: int, length: int, protein: bool):
     first = first & (s_sorted != _UMAX)
     q_sorted = jnp.sort(jnp.where(first, s_sorted, _UMAX), axis=1)
     s = jnp.sum(first, axis=1).astype(jnp.int32)
-    return record, win_hash, q_sorted, s
+    rec_ovf = jnp.any(s > kc)
+    return rec_ovf, win_hash, q_sorted[:, : min(kc, q_sorted.shape[1])], s
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "length", "protein"))
 def _winnow_fragments_sketch(frags, k: int, w: int, length: int, protein: bool):
     # only the sketch outputs -- the per-window record/hash arrays stay on
     # device (a (F, P) bool d2h is pathologically slow over the tunnel)
-    _, _, q_sorted, s = _winnow_fragments_impl.__wrapped__(
+    rec_ovf, _, q_sorted, s = _winnow_fragments_impl.__wrapped__(
         frags, k, w, length, protein
     )
+    # kc=1024 covers any real fragment (max records ~2*(l-k)/(w+1) + slack);
+    # make truncation loud rather than silent if it ever happens
+    q_sorted = jnp.where(rec_ovf, jnp.uint32(0xFFFFFFFF), q_sorted)
+    s = jnp.where(rec_ovf, -1, s)
     return q_sorted, s
 
 

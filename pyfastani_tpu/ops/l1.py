@@ -35,7 +35,9 @@ __all__ = ["l1_candidates_device"]
 _BIG = np.int32(2**30)
 
 
-@functools.partial(jax.jit, static_argnames=("hmax", "ivmax", "l"))
+@functools.partial(
+    jax.jit, static_argnames=("hmax", "ivmax", "l", "bucket_steps")
+)
 def l1_candidates_device(
     q_sorted,  # (F, S) u32 ascending sketch hashes, UMAX padded
     s_sizes,  # (F,) i32
@@ -46,9 +48,11 @@ def l1_candidates_device(
     post_wpos,  # (M,) i32
     freq_threshold,  # scalar i32
     min_hits_table,  # (T,) i32, indexed by sketch size (clipped)
+    hash_bucket,  # (65537,) i32 prefix over uniq_hash >> 16
     hmax: int,
     ivmax: int,
     l: int,
+    bucket_steps: int = 21,
 ):
     """Returns (iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv):
     (F, ivmax) x3, (F, ivmax) bool, and two scalar bools flagging which
@@ -58,7 +62,19 @@ def l1_candidates_device(
     U = uniq_hash.shape[0]
 
     # --- probe the CSR index ------------------------------------------------
-    rows = jnp.searchsorted(uniq_hash, q_sorted)  # (F, S)
+    # bucketed binary search: the 2^16-entry prefix narrows each probe to
+    # its high-16-bit bucket, so only ~log2(max bucket) gather steps remain
+    b = (q_sorted >> jnp.uint32(16)).astype(jnp.int32)
+    lo = hash_bucket[b]
+    hi = hash_bucket[b + 1]
+    for _ in range(bucket_steps):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        mid_c = jnp.clip(mid, 0, max(U - 1, 0))
+        go_right = uniq_hash[mid_c] < q_sorted
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    rows = lo  # (F, S) insertion points
     rows_c = jnp.clip(rows, 0, max(U - 1, 0))
     i_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
     found = (
@@ -119,16 +135,25 @@ def l1_candidates_device(
     # candidates are already in (seq, pos) order; the previous *valid*
     # candidate is found with an exclusive cummax scan instead of an
     # argsort compaction (argsort + gathers dominated this stage on TPU)
-    marked = jnp.where(cand_ok, j_idx, jnp.int32(-1))
-    prev_idx = jnp.concatenate(
-        [jnp.full((F, 1), -1, jnp.int32), jax.lax.cummax(marked, axis=1)[:, :-1]],
-        axis=1,
-    )
-    prev_c = jnp.clip(prev_idx, 0, hmax - 1)
-    prev_seq = jnp.take_along_axis(hit_seq, prev_c, axis=1)
-    prev_end = jnp.take_along_axis(hit_pos, prev_c, axis=1)
+    # last-valid-candidate (seq, end) via a log-doubling masked-lag scan
+    # (shift+select passes; cheaper than gathers on this platform)
+    pv = cand_ok
+    ps, pe = hit_seq, hit_pos
+    step = 1
+    while step < hmax:
+        sv = jnp.concatenate([jnp.zeros((F, step), bool), pv[:, :-step]], axis=1)
+        ss = jnp.concatenate([jnp.full((F, step), -1, jnp.int32), ps[:, :-step]], axis=1)
+        se = jnp.concatenate([jnp.full((F, step), -_BIG, jnp.int32), pe[:, :-step]], axis=1)
+        keep = pv
+        ps = jnp.where(keep, ps, ss)
+        pe = jnp.where(keep, pe, se)
+        pv = keep | sv
+        step *= 2
+    prev_v = jnp.concatenate([jnp.zeros((F, 1), bool), pv[:, :-1]], axis=1)
+    prev_seq = jnp.concatenate([jnp.full((F, 1), -1, jnp.int32), ps[:, :-1]], axis=1)
+    prev_end = jnp.concatenate([jnp.full((F, 1), -_BIG, jnp.int32), pe[:, :-1]], axis=1)
     boundary = cand_ok & (
-        (prev_idx < 0) | (hit_seq != prev_seq) | (cand_start > prev_end)
+        (~prev_v) | (hit_seq != prev_seq) | (cand_start > prev_end)
     )
     iv_id = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1  # (F, H)
     iv_id = jnp.where(cand_ok, iv_id, -1)

@@ -63,6 +63,8 @@ class ShardedIndex:
     contig_offset: np.ndarray  # (n, C+1) i32 cumulative global offsets
     seq_to_genome: np.ndarray  # (n, C) i32 contig -> local genome id
     freq_threshold: np.ndarray  # (n,) i32
+    hash_bucket: np.ndarray  # (n, 65537) i32 high-16-bit prefix per shard
+    bucket_steps: int  # max binary-search depth across shards
     genome_names: list  # list per shard of genome names
     genome_lengths: np.ndarray  # (n, G) i64
     n_shards: int
@@ -176,6 +178,8 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
             min_width=n_ctg_max,
         ),
         freq_threshold=np.asarray([s.freq_threshold for s in subs], np.int32),
+        hash_bucket=np.stack([s.hash_bucket for s in subs]).astype(np.int32),
+        bucket_steps=max(s.bucket_steps for s in subs),
         genome_names=[s[2] for s in shards],
         genome_lengths=pad2(
             [np.asarray(s[3], np.int64) for s in shards], 0, np.int64
@@ -275,11 +279,12 @@ def _query_block_impl(
     frag_qg,
     uniq_hash, row_start, row_len, post_seqid, post_wpos,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
-    seq_to_genome, freq_threshold,
+    seq_to_genome, freq_threshold, hash_bucket,
     min_hits_table, gate_table,
     k: int, w: int, length: int, protein: bool, l: int,
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
+    bucket_steps: int = 21,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
@@ -296,18 +301,19 @@ def _query_block_impl(
     cmw = l - (k - 1)
 
     # call the unjitted bodies: nested jit caches leak tracers in shard_map
-    _, _, q_sorted, s_sizes = _winnow_fragments_impl.__wrapped__(
-        frags, k, w, length, protein
+    kc = min(smax + 128, length)
+    rec_ovf, _, q_sorted, s_sizes = _winnow_fragments_impl.__wrapped__(
+        frags, k, w, length, protein, kc
     )
     # bound the sketch axis: sketches are ~2*l/w hashes; overflow is flagged
-    s_overflow = jnp.any(s_sizes > smax)
+    s_overflow = jnp.any(s_sizes > smax) | rec_ovf
     q_sorted = q_sorted[:, : min(smax, q_sorted.shape[1])]
 
     iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv = (
         l1_candidates_device.__wrapped__(
             q_sorted, s_sizes, uniq_hash, row_start, row_len,
             post_seqid, post_wpos, freq_threshold, min_hits_table,
-            hmax, ivmax, l,
+            hash_bucket, hmax, ivmax, l, bucket_steps,
         )
     )
 
@@ -372,7 +378,7 @@ _query_block = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "w", "length", "protein", "l", "hmax", "ivmax", "cmax", "rmax",
-        "t_chunks", "g_max", "bin_max", "smax", "q_count",
+        "t_chunks", "g_max", "bin_max", "smax", "q_count", "bucket_steps",
     ),
 )(_query_block_impl)
 
@@ -389,7 +395,7 @@ class ShardedSession:
         hmax: int = 1024,
         ivmax: int = 32,
         cmax: int = 3072,
-        rmax: int = 1024,
+        rmax: int = 512,
         t_chunks: int = 4,
         bin_max: int = 2048,
         smax: int = 384,
@@ -440,6 +446,7 @@ class ShardedSession:
             jax.device_put(sidx.contig_offset, sh2),
             jax.device_put(sidx.seq_to_genome, sh2),
             jax.device_put(sidx.freq_threshold, sh1),
+            jax.device_put(sidx.hash_bucket, sh2),
             jax.device_put(np.asarray(mh_tab), rep),
             jax.device_put(np.asarray(gate_tab), rep),
         )
@@ -476,16 +483,19 @@ class ShardedSession:
         g_max = self._g_max
         bin_max = b["bin_max"]
 
+        bucket_steps = self.sidx.bucket_steps
+
         def block_fn(frags_b, qg_b, qg_marker, uniq, rstart, rlen, pseq,
-                     pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, mht, gt):
+                     pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, hb,
+                     mht, gt):
             best_bin, ovf_vec = _query_block_impl(
                 frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
                 mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
-                mht, gt,
+                hb[0], mht, gt,
                 params.kmer_size, params.window_size, l,
                 params.alphabet_size != 4, l,
                 b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
-                g_max, bin_max, b["smax"], q_count,
+                g_max, bin_max, b["smax"], q_count, bucket_steps,
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
@@ -524,7 +534,7 @@ class ShardedSession:
             mesh=self.mesh,
             in_specs=(
                 P("data", None), P("data"), P(None),
-                si, si, si, si, si, si, si, si, si, si, si, P("shard"),
+                si, si, si, si, si, si, si, si, si, si, si, P("shard"), si,
                 P(None), P(None),
             ),
             out_specs=(
