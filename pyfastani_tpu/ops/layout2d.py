@@ -63,28 +63,73 @@ def shift_down(xp, a, d: int, fill):
     return a
 
 
+def _shift_cols(xp, a, t: int, fill):
+    """Within-row right shift (no cross-row wrap)."""
+    R, C = a.shape
+    if t >= C:
+        return xp.full((R, C), fill, a.dtype)
+    return xp.concatenate(
+        [xp.full((R, t), fill, a.dtype), a[:, : C - t]], axis=1
+    )
+
+
 def prefix_scan(xp, combine, arrays, identities):
     """Inclusive prefix scan over the flattened order.
 
+    Hierarchical: an in-row Hillis-Steele scan (log2(C) shifted passes over
+    the full array), a tiny scan over the R row aggregates (as a (1, R) row
+    vector), and one broadcast combine -- ~3x less memory traffic than
+    scanning the flattened order directly.
+
     Args:
         combine: ``combine(earlier, current) -> tuple`` -- an associative
-            elementwise combiner over tuples of arrays, where ``earlier``
-            is the aggregate of strictly preceding elements shifted into
-            place.
+            elementwise combiner over tuples of arrays (must support
+            broadcasting), where ``earlier`` aggregates strictly preceding
+            elements.
         arrays: tuple of same-shape ``(R, C)`` arrays (the scan state).
-        identities: per-array fill value used past the array start.
+        identities: per-array identity value used past the array start.
 
     Returns:
         Tuple of arrays: ``out.flat[i] = arrays.flat[0] ⊕ ... ⊕ arrays.flat[i]``.
     """
-    n = 1
-    for s in arrays[0].shape:
-        n *= s
+    R, C = arrays[0].shape
+
+    # 1. inclusive scan within each row
     t = 1
-    while t < n:
+    while t < C:
         shifted = tuple(
-            shift_down(xp, a, t, idv) for a, idv in zip(arrays, identities)
+            _shift_cols(xp, a, t, idv) for a, idv in zip(arrays, identities)
         )
         arrays = combine(shifted, arrays)
         t *= 2
-    return arrays
+
+    if R == 1:
+        return arrays
+
+    # 2. exclusive scan over the R row aggregates, refolded to (R2/128, 128)
+    # tiles (a (1, R) row vector is effectively 1-D and compiles
+    # pathologically on this platform) -- flat log-doubling there is cheap
+    R2 = pad_to_lanes(R)
+    rows2 = R2 // LANES
+
+    def refold(a, idv):
+        s = a[:, -1]
+        if R2 != R:
+            s = xp.concatenate([s, xp.full((R2 - R,), idv, a.dtype)])
+        return s.reshape(rows2, LANES)
+
+    summ = tuple(refold(a, idv) for a, idv in zip(arrays, identities))
+    t = 1
+    while t < R2:
+        shifted = tuple(
+            shift_down(xp, s, t, idv) for s, idv in zip(summ, identities)
+        )
+        summ = combine(shifted, summ)
+        t *= 2
+    prefix = tuple(
+        shift_down(xp, s, 1, idv).reshape(R2)[:R].reshape(R, 1)
+        for s, idv in zip(summ, identities)
+    )
+
+    # 3. fold each row's exclusive prefix into its in-row scan
+    return combine(prefix, arrays)
