@@ -103,3 +103,39 @@ def test_query_many_matches_per_genome():
         for h, e in zip(hits, expected):
             assert abs(h.identity - e.identity) < 2e-4
     assert batched[2] == []
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_determinism_across_repeats_and_meshes():
+    """The same query gives identical hits on repeated dispatches and on
+    different mesh layouts (the reference has no such guarantee -- its
+    thread pool makes tie handling order-dependent; see
+    KNOWN_DEVIATIONS.md)."""
+    from pyfastani_tpu.parallel.sharded import ShardedSession
+
+    rng = np.random.default_rng(31)
+    refs = [_rand_genome(rng, n) for n in (26_000, 22_000, 24_000, 21_000)]
+    query = _mutate(rng, refs[1], 0.04)
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+
+    runs = []
+    for mesh_shape in [(2, 4), (4, 2), (8, 1)]:
+        sess = ShardedSession(
+            mapper, make_mesh(*mesh_shape),
+            hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64,
+            smax=256,
+        )
+        for _ in range(2):
+            runs.append(sess.query([query]))
+    first = runs[0]
+    assert first, "expected a hit"
+    for other in runs[1:]:
+        assert [(h.name, h.matches, h.fragments) for h in other] == [
+            (h.name, h.matches, h.fragments) for h in first
+        ]
+        for a, b in zip(other, first):
+            assert abs(a.identity - b.identity) < 1e-4
