@@ -45,7 +45,7 @@ __all__ = ["l2_chunk_scan", "l2_event_curve"]
 # on re-trace, which this platform's dispatch fast path drops
 _UMAX = np.uint32(0xFFFFFFFF)
 _BIG = np.int32(2**30)
-_SLAB = 16  # chunks processed per inner step to bound memory
+_SLAB = 64  # chunks processed per inner step to bound memory
 
 
 def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
@@ -82,10 +82,21 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     same = (prev_h == rh_k) & (prev_p < _BIG)
     start = jnp.maximum(rp_k - (cmw - 1), jnp.where(same, prev_p + 1, -_BIG))
 
-    # hash membership in the query sketch (dense compare, VPU)
-    i_idx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
-    valid_i = i_idx < s[:, None, None]
-    in_q = jnp.any((q[:, None, :] == rh_k[:, :, None]) & valid_i, axis=2)
+    # hash membership in the query sketch: the sketch rows are sorted
+    # ascending (UMAX padded), so membership is a vectorized binary search
+    # -- ~log2(S) gather steps instead of the dense (B, R, S) compare,
+    # which lets the caller run much wider slabs per sequential step
+    lo_q = jnp.zeros((B, R), jnp.int32)
+    hi_q = jnp.broadcast_to(s[:, None], (B, R)).astype(jnp.int32)
+    for _ in range(max(1, S.bit_length())):
+        active = lo_q < hi_q
+        mid = (lo_q + hi_q) // 2
+        qm = jnp.take_along_axis(q, jnp.clip(mid, 0, S - 1), axis=1)
+        go_right = qm < rh_k
+        lo_q = jnp.where(active & go_right, mid + 1, lo_q)
+        hi_q = jnp.where(active & ~go_right, mid, hi_q)
+    qa = jnp.take_along_axis(q, jnp.clip(lo_q, 0, S - 1), axis=1)
+    in_q = (lo_q < s[:, None]) & (qa == rh_k)
 
     # difference-array events over local offsets t = c - c0
     t_start = start - c0[:, None]

@@ -188,7 +188,9 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
     )
 
 
-_CH_SLAB = 32  # chunk work items per inner step
+_CH_SLAB = 256  # chunk work items per inner step (wide slabs cut the
+# sequential lax.map step count; the binary-search membership in
+# ops.l2.l2_event_curve keeps per-slab memory at ~R*B ints)
 
 
 def _l2_interval_scan(
