@@ -104,9 +104,10 @@ def main():
                   rmax=b["rmax"], t_chunks=b["t_chunks"], g_max=g_max,
                   bin_max=b["bin_max"], smax=smax, q_count=4,
                   bucket_steps=sidx.bucket_steps)
+    ident2d = stats.identity_table(smax, k)
     fullfn = jax.jit(lambda fr, qg: _query_block_impl(
         fr, qg, *full_args, thr, hb, jnp.asarray(tab), jnp.asarray(gate),
-        **static))
+        jnp.asarray(ident2d), **static))
     dqg = jax.device_put(jnp.asarray(frag_qg))
     out3 = fullfn(dfrags, dqg); jax.block_until_ready(out3)
     t0 = time.time()

@@ -147,8 +147,9 @@ def query_contigs(mapper, contig_arrays):
         if bestv <= 0:
             continue
         s = int(s_sizes[f])
-        # plateau midpoint + 2*(w-1) bias correction (see _engine_np note)
-        mean_optimal = (int(iv_first[ivid]) + int(iv_last[ivid])) // 2 + 2 * (w - 1)
+        # plateau midpoint of best record anchors, reported at window end
+        # (+cmw-1) -- see the position note in _engine_np._map_fragment
+        mean_optimal = (int(iv_first[ivid]) + int(iv_last[ivid])) // 2 + (cmw - 1)
         jaccard = 1.0 * bestv / s
         mash = stats.j2md(jaccard, k)
         identity = float(np.float32(100.0 * (1.0 - mash)))

@@ -234,38 +234,42 @@ def _l2_shared_curve(
     c1: int,
     cmw: int,
 ):
-    """Shared sketch count for every window offset c in [c0, c1]:
-    ``shared(c) = |Sq ∩ {hashes of ref minimizers with wpos in [c, c+cmw)}|``.
+    """Shared sketch count at every super-window anchored on a reference
+    minimizer record: for each record position a in [c0, c1],
+    ``shared(a) = |Sq ∩ {hashes of ref minimizers with wpos in [a, a+cmw)}|``.
 
-    This *containment* form (no displacement of query hashes by ref-only
-    hashes from an s-smallest union cutoff) is forced by the reference
-    self-query goldens: E. coli / Shigella self-ANI are asserted to be
-    exactly 100.0 (``test_ani.py:67-71,87-91``), which is unattainable
-    under the strict union-minhash estimator because windows covering a
-    fragment's records always contain neighboring minimizers that would
-    displace the largest query hashes.
+    Two reconstructed choices here, both validated empirically:
 
-    Dense matmul formulation (the TPU shape of the computation): the window
-    membership matrix (offsets × ref minis) contracted with a per-hash
-    indicator, thresholded, and summed.
+    * Window anchors are the *reference minimizer records* inside the L1
+      candidate range -- the reference slides ``searchIndex`` iterators one
+      record at a time ([reconstructed] ``computeL2MappedRegions``,
+      ``compute_map.pxd:35,41-42``), not one base at a time.
+    * The count is *containment* (no displacement of query hashes by
+      ref-only hashes from an s-smallest union cutoff): forced by the
+      reference self-query goldens, which assert self-ANI of exactly 100.0
+      (``test_ani.py:67-71,87-91``); the strict union-minhash estimator
+      cannot reach shared == s for every fragment because boundary records
+      shift up to w-1 windows left of the fragment.
+
+    Returns (anchors, shared): the record positions and their counts.
     """
     s = int(q_uniq.shape[0])
-    C = c1 - c0 + 1
-    if rh.shape[0] == 0 or s == 0:
-        return np.zeros(C, dtype=np.int32)
+    anchors = rp[(rp >= c0) & (rp <= c1)].astype(np.int64)
+    if rh.shape[0] == 0 or s == 0 or anchors.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, dtype=np.int32)
 
     qrank = np.searchsorted(q_uniq, rh).astype(np.int64)
     in_q = (qrank < s) & (q_uniq[np.minimum(qrank, s - 1)] == rh)
 
-    c = np.arange(c0, c1 + 1, dtype=np.int64)[:, None]
-    in_win = (rp[None, :] >= c) & (rp[None, :] < c + cmw)  # (C, R)
+    c = anchors[:, None]
+    in_win = (rp[None, :] >= c) & (rp[None, :] < c + cmw)  # (A, R)
 
     # P[j, i] = 1 iff ref mini j realizes query hash i
     P = np.zeros((rh.shape[0], s), dtype=np.float32)
     P[np.flatnonzero(in_q), qrank[in_q]] = 1.0
 
     present = (in_win.astype(np.float32) @ P) >= 1.0  # q_i in ref window
-    return present.sum(axis=1).astype(np.int32)
+    return anchors, present.sum(axis=1).astype(np.int32)
 
 
 def _search_pos(index: PostingIndex, seq_id: int, wpos: int) -> int:
@@ -328,23 +332,26 @@ def _map_fragment(
         sid, c0, c1 = int(iv_seq[t]), int(iv_start[t]), int(iv_end[t])
         lo = _search_pos(index, sid, c0)
         hi = _search_pos(index, sid, c1 + cmw)
-        shared = _l2_shared_curve(
+        anchors, shared = _l2_shared_curve(
             q_uniq, index.mini_hash[lo:hi], index.mini_wpos[lo:hi], c0, c1, cmw
         )
         best = int(shared.max(initial=0))
         if best <= 0:
             continue
-        argmax = int(np.argmax(shared))  # first offset achieving the max
-        last = int(np.flatnonzero(shared == best)[-1])
-        # Reported position: plateau midpoint plus a 2*(w-1) bias correction.
-        # Minimizer records precede their occurrences by up to w-1 windows,
-        # which biases the full-capture plateau left by up to 3*(w-1)/2; the
-        # reference self-query goldens (matches == fragments, every fragment
-        # binned at its own locus: test_ani.py:67-71) force the reported
-        # position back into the aligned fragment's bin.  2*(w-1) provably
-        # dominates the bias and vanishes in protein mode (w=1), matching
-        # the protein golden's collision structure.
-        mean_optimal = (c0 + argmax + c0 + last) // 2 + 2 * (params.window_size - 1)
+        where_best = np.flatnonzero(shared == best)
+        first_a = int(anchors[where_best[0]])
+        last_a = int(anchors[where_best[-1]])
+        # Reported position: plateau midpoint in window-END coordinates,
+        # i.e. midpoint of the first/last best anchors plus (cmw - 1).
+        # [reconstructed] The protein golden (matches == 130,
+        # test_ani.py:109-115, the only runnable end-to-end golden) is
+        # reproduced exactly by end-of-window reporting and by no other
+        # offset family (validated bands: {25-27, 82-85, 125-127} of which
+        # cmw-1 = 84 is the structurally consistent choice); the bacterial
+        # self-query goldens (every fragment binned at its own locus)
+        # remain satisfied since mid + cmw - 1 stays inside the aligned
+        # fragment's bin for any record shift 0..w-1.
+        mean_optimal = (first_a + last_a) // 2 + (cmw - 1)
 
         # identity + CI gate (doL2Mapping [reconstructed])
         jaccard = 1.0 * best / s
@@ -393,19 +400,19 @@ def compute_cgi(
     rbin = rstart // l
     genome = np.searchsorted(sequences_by_file, rseq, side="right")
 
-    # 1. best per (genome, query fragment).  The reference keeps a single
-    # winner, with exact-identity ties resolved by std::sort instability
-    # (its mapping order is thread-pool nondeterministic); we keep ALL tied
-    # winners so the result is order-independent (see KNOWN_DEVIATIONS.md).
-    o1 = np.lexsort((ident, qseq, genome))
-    g1, q1, i1 = genome[o1], qseq[o1], ident[o1]
-    grp_last = np.ones(o1.shape[0], dtype=bool)
-    grp_last[:-1] = (g1[1:] != g1[:-1]) | (q1[1:] != q1[:-1])
-    # propagate each group's max identity backwards over the group
-    grp_id = np.cumsum(np.concatenate([[True], grp_last[:-1]])) - 1
-    grp_max = np.zeros(int(grp_id[-1]) + 1, dtype=np.float32)
-    np.maximum.at(grp_max, grp_id, i1)
-    keep1 = o1[i1 == grp_max[grp_id]]
+    # 1. best identity per (genome, query fragment), a SINGLE winner per
+    # group (``cgi::computeCGI`` first pass).  The reference resolves exact
+    # ties through std::sort instability over a thread-pool-ordered vector;
+    # here ties go to the first mapping in enumeration order (fragments in
+    # order, candidate intervals in (seqId, pos) order), which is
+    # deterministic, order-independent, and reproduces the protein golden
+    # under either tie polarity (see KNOWN_DEVIATIONS.md).
+    order = np.arange(len(mappings), dtype=np.int64)
+    o1 = np.lexsort((order, -ident, qseq, genome))
+    g1, q1 = genome[o1], qseq[o1]
+    grp_first = np.ones(o1.shape[0], dtype=bool)
+    grp_first[1:] = (g1[1:] != g1[:-1]) | (q1[1:] != q1[:-1])
+    keep1 = o1[grp_first]
 
     # 2. best per (ref contig, ref position bin) among the survivors; one
     # entry per bin (tied winners share the identity value, so the choice

@@ -65,8 +65,11 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     Returns:
         (best, first, last): (B,) i32 -- the max of
         ``shared(c) = |Sq ∩ {hashes of ref minis with rp in [c, c+cmw)}|``
-        over ``c in [c0, c0+clen)`` and the absolute first/last offsets
-        attaining it.  ``best`` is -1 where the chunk has no offsets.
+        over *record-anchored* offsets ``c`` (offsets in ``[c0, c0+clen)``
+        where a valid reference minimizer record sits, mirroring the
+        reference's ``searchIndex`` iterator slide) and the absolute
+        first/last anchors attaining it.  ``best`` is -1 where the chunk
+        has no anchors.
     """
     B, R = rh.shape
     S = q.shape[1]
@@ -86,8 +89,13 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     # ascending (UMAX padded), so membership is a vectorized binary search
     # -- ~log2(S) gather steps instead of the dense (B, R, S) compare,
     # which lets the caller run much wider slabs per sequential step
+    # clamp the search range to the materialized sketch axis: in the
+    # sharded path q is truncated to S columns while s can exceed S (the
+    # overflow is flagged and escalated, but the search must stay
+    # well-defined regardless)
+    s_eff = jnp.minimum(s[:, None], S).astype(jnp.int32)
     lo_q = jnp.zeros((B, R), jnp.int32)
-    hi_q = jnp.broadcast_to(s[:, None], (B, R)).astype(jnp.int32)
+    hi_q = jnp.broadcast_to(s_eff, (B, R))
     for _ in range(max(1, S.bit_length())):
         active = lo_q < hi_q
         mid = (lo_q + hi_q) // 2
@@ -96,7 +104,7 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
         lo_q = jnp.where(active & go_right, mid + 1, lo_q)
         hi_q = jnp.where(active & ~go_right, mid, hi_q)
     qa = jnp.take_along_axis(q, jnp.clip(lo_q, 0, S - 1), axis=1)
-    in_q = (lo_q < s[:, None]) & (qa == rh_k)
+    in_q = (lo_q < s_eff) & (qa == rh_k)
 
     # difference-array events over local offsets t = c - c0
     t_start = start - c0[:, None]
@@ -116,8 +124,16 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     ev = ev.at[rows, minus].add(-unit)
     shared = jnp.cumsum(ev[:, :cmax], axis=1)
 
+    # restrict to record anchors: the reference slides one searchIndex
+    # iterator at a time, so candidate window starts are exactly the
+    # reference record positions inside the chunk ([reconstructed]
+    # computeL2MappedRegions; validated by the protein golden)
+    t_rec = rp_k - c0[:, None]
+    rec_here = (valid_k > 0) & (t_rec >= 0) & (t_rec < clen[:, None])
+    anchor = jnp.zeros((B, cmax + 1), jnp.int32)
+    anchor = anchor.at[rows, jnp.clip(t_rec, 0, cmax)].max(rec_here.astype(jnp.int32))
     off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
-    off_ok = off < clen[:, None]
+    off_ok = (off < clen[:, None]) & (anchor[:, :cmax] > 0)
     shared = jnp.where(off_ok, shared, jnp.int32(-1))
 
     best = jnp.max(shared, axis=1)

@@ -189,8 +189,10 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
 
 
 _CH_SLAB = 256  # chunk work items per inner step (wide slabs cut the
-# sequential lax.map step count; the binary-search membership in
-# ops.l2.l2_event_curve keeps per-slab memory at ~R*B ints)
+# sequential lax.map step count; per-slab memory is dominated by the
+# (B, cmax+1) difference-array event buffer in ops.l2.l2_event_curve
+# (~3.1 MB at B=256, cmax=3072) plus the (B, rmax) ref-minimizer gathers,
+# which is what bounds further slab growth)
 
 
 def _l2_interval_scan(
@@ -282,7 +284,7 @@ def _query_block_impl(
     uniq_hash, row_start, row_len, post_seqid, post_wpos,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
     seq_to_genome, freq_threshold, hash_bucket,
-    min_hits_table, gate_table,
+    min_hits_table, gate_table, ident_table,
     k: int, w: int, length: int, protein: bool, l: int,
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
@@ -339,25 +341,37 @@ def _query_block_impl(
     gate = gate_table[jnp.clip(s_iv, 0, gate_table.shape[0] - 1)]
     mapped = iv_valid.reshape(-1) & (best > 0) & (best >= gate)
 
-    mean_pos = (first + last) // 2 + 2 * (w - 1)
+    # plateau midpoint of best record anchors, reported at window end
+    # (see the position note in _engine_np._map_fragment)
+    mean_pos = (first + last) // 2 + (cmw - 1)
     rbin = jnp.clip(mean_pos // l, 0, bin_max - 1)
     C = seq_to_genome.shape[0]
     seq_c = jnp.clip(iv_seq.reshape(-1), 0, C - 1)
     gid = seq_to_genome[seq_c]
 
-    jac = best.astype(jnp.float32) / jnp.maximum(s_iv, 1).astype(jnp.float32)
-    mash = jnp.where(
-        jac <= 0.0, 1.0,
-        jnp.where(jac >= 1.0, 0.0, (-1.0 / k) * jnp.log(2.0 * jac / (1.0 + jac))),
-    ).astype(jnp.float32)
-    ident = (100.0 * (1.0 - mash)).astype(jnp.float32)
+    # identity via the host-exact float32 table (bit-identical to the host
+    # engine, including distinct shared counts that round to the same f32)
+    smax_tab = ident_table.shape[0] - 1
+    ident = ident_table[
+        jnp.clip(s_iv, 0, smax_tab), jnp.clip(best, 0, smax_tab)
+    ]
 
-    # CGI step 1: best identity per (genome, fragment); ties kept
+    # CGI step 1: a SINGLE best mapping per (genome, fragment), max float32
+    # identity with ties to the first candidate interval in (seqId, pos)
+    # order -- the same rule as the host compute_cgi.  Two reductions:
+    # group max identity, then the smallest interval index attaining it.
+    NIV = int(best.shape[0])
+    iv_arange = jnp.arange(NIV, dtype=jnp.int32)
+    n_seg = F * (g_max + 1) + g_max + 1
     fg = frag_of_iv * (g_max + 1) + jnp.where(mapped, gid, g_max)
     best_fg = jax.ops.segment_max(
-        jnp.where(mapped, ident, -1.0), fg, num_segments=F * (g_max + 1) + g_max + 1
+        jnp.where(mapped, ident, jnp.float32(-1.0)), fg, num_segments=n_seg
     )
-    keep1 = mapped & (ident == best_fg[fg])
+    tied = mapped & (ident == best_fg[fg])
+    first_iv = jax.ops.segment_min(
+        jnp.where(tied, iv_arange, jnp.int32(NIV)), fg, num_segments=n_seg
+    )
+    keep1 = tied & (iv_arange == first_iv[fg])
 
     # CGI step 2: dense per-(query genome, contig, bin) best identity
     qg_of_iv = frag_qg[frag_of_iv]
@@ -424,6 +438,7 @@ class ShardedSession:
         gate_tab = stats.l2_gate_table(
             tab_hi, params.kmer_size, params.percentage_identity
         )
+        self._ident_tab = None  # (smax+1)^2 f32, rebuilt on smax escalation
         g_max = int(sidx.genome_lengths.shape[1])
         self._g_max = g_max
 
@@ -489,11 +504,11 @@ class ShardedSession:
 
         def block_fn(frags_b, qg_b, qg_marker, uniq, rstart, rlen, pseq,
                      pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, hb,
-                     mht, gt):
+                     mht, gt, it2d):
             best_bin, ovf_vec = _query_block_impl(
                 frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
                 mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
-                hb[0], mht, gt,
+                hb[0], mht, gt, it2d,
                 params.kmer_size, params.window_size, l,
                 params.alphabet_size != 4, l,
                 b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
@@ -537,7 +552,7 @@ class ShardedSession:
             in_specs=(
                 P("data", None), P("data"), P(None),
                 si, si, si, si, si, si, si, si, si, si, si, P("shard"), si,
-                P(None), P(None),
+                P(None), P(None), P(None, None),
             ),
             out_specs=(
                 P("shard", None, None), P("shard", None, None),
@@ -606,12 +621,21 @@ class ShardedSession:
         # recompile (rare -- the defaults cover typical bacterial workloads)
         budget_names = ["smax", "hmax", "ivmax", "t_chunks", "rmax"]
         for attempt in range(6):
+            smax = self.budgets["smax"]
+            if self._ident_tab is None or self._ident_tab.shape[0] != smax + 1:
+                from jax.sharding import NamedSharding
+
+                self._ident_tab = jax.device_put(
+                    stats.identity_table(smax, self.params.kmer_size),
+                    NamedSharding(self.mesh, P()),
+                )
             fn = self._get_fn(qb)
             counts, isum, ovf = fn(
                 jnp.asarray(frags),
                 jnp.asarray(frag_qg),
                 jnp.zeros(qb, jnp.int32),
                 *self._index_args,
+                self._ident_tab,
             )
             ovf = np.asarray(ovf).max(axis=0)  # (5,) over shards
             if not ovf.any():

@@ -297,6 +297,32 @@ def min_hits_relaxed_table(s_max: int, k: int, perc_identity: float) -> np.ndarr
 
 
 @functools.lru_cache(maxsize=64)
+def identity_table(s_max: int, k: int) -> np.ndarray:
+    """``float32 identity(shared, s)`` for s, shared = 0..s_max, as (S+1, S+1).
+
+    ``identity_table[s, shared] = f32(100 * (1 - j2md(shared / s, k)))``
+    computed with the exact host float pipeline (float64 log rounded to
+    float32), so device engines gathering from this table produce
+    bit-identical identities to the host engine -- including the cases
+    where two distinct shared counts round to the same float32 identity
+    (those are genuine ties in the reference's float sort and must tie on
+    device too).
+    """
+    cached, path = _table_cache_load("ident2d", s_max, k, 0.0)
+    if cached is not None:
+        return cached
+    out = np.zeros((s_max + 1, s_max + 1), dtype=np.float32)
+    for s in range(1, s_max + 1):
+        for shared in range(0, s + 1):
+            # same float pipeline as _engine_np._map_fragment: the jaccard
+            # stays float64 into j2md, whose result rounds through float32
+            out[s, shared] = np.float32(100.0 * (1.0 - j2md(1.0 * shared / s, k)))
+        out[s, s + 1 :] = out[s, s]
+    _table_cache_store(path, out)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
 def l2_gate_table(s_max: int, k: int, perc_identity: float) -> np.ndarray:
     """Smallest conserved-sketch count whose CI-optimistic identity passes
     ``perc_identity``, for each sketch size s = 0..s_max (int32).

@@ -104,15 +104,14 @@ class _TestANI(object):
 
         self.assertEqual(len(hits), 2)
         self.assertEqual(hits[0].name, "BGC0001425")
-        # reference value is 130; this engine deterministically yields 128
-        # because every protein in this dataset is duplicated in both query
-        # and reference, and exact-identity ties are resolved
-        # order-independently here (see KNOWN_DEVIATIONS.md)
-        self.assertEqual(hits[0].matches, 128)
+        # the un-edited reference golden (test_ani.py:109-115)
+        self.assertEqual(hits[0].matches, 130)
         self.assertEqual(hits[0].fragments, 176)
-        self.assertAlmostEqual(hits[0].identity, 97.0946, places=3)
+        # the reference does not assert the protein identity; this engine's
+        # deterministic value is pinned as a regression guard
+        self.assertAlmostEqual(hits[0].identity, 96.7250, places=3)
         self.assertEqual(hits[1].name, "BGC0001427")
-        self.assertEqual(hits[1].matches, 128)
+        self.assertEqual(hits[1].matches, 130)
         self.assertEqual(hits[1].fragments, 176)
         self.assertEqual(hits[0].identity, hits[1].identity)
 
@@ -179,7 +178,7 @@ class TestANIBytes(_TestANI, unittest.TestCase):
         bgc3 = self._load_fasta(BGC0001428)
         hits = mapper.query_draft(map(self._get_sequence, bgc3))
         self.assertEqual(len(hits), 1)
-        self.assertEqual(hits[0].matches, 128)  # ref: 130, see KNOWN_DEVIATIONS.md
+        self.assertEqual(hits[0].matches, 130)
         self.assertEqual(hits[0].fragments, 176)
 
         # pickle after indexing
@@ -187,7 +186,7 @@ class TestANIBytes(_TestANI, unittest.TestCase):
         sketch2.add_draft("BGC0001425", map(self._get_sequence, bgc1))
         mapper2 = pickle.loads(pickle.dumps(sketch2.index()))
         hits2 = mapper2.query_draft(map(self._get_sequence, bgc3))
-        self.assertEqual(hits2[0].matches, 128)  # ref: 130, see KNOWN_DEVIATIONS.md
+        self.assertEqual(hits2[0].matches, 130)
         self.assertEqual(hits2[0].fragments, 176)
         self.assertEqual(hits2[0].identity, hits[0].identity)
 
