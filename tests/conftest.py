@@ -28,3 +28,22 @@ if not os.environ.get("PYFASTANI_TPU_TEST_TPU"):
 from pyfastani_tpu.utils.jaxconfig import configure as _configure_jax_cache
 
 _configure_jax_cache()
+
+# build the optional native host extension in place when absent (the .so is
+# not committed; one -O3 cc invocation, skipped silently without a compiler)
+from pyfastani_tpu import _native as _native_mod
+
+if not _native_mod.HAVE_NATIVE:
+    import subprocess
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "setup.py", "-q", "build_ext", "--inplace"],
+        cwd=_repo,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        check=False,
+    )
+    import importlib
+
+    importlib.reload(_native_mod)
