@@ -158,6 +158,85 @@ def build_index(
     )
 
 
+def _rebuild_bucket(index: PostingIndex) -> None:
+    """Recompute the high-16-bit bucket prefix after a posting edit."""
+    high = (index.uniq_hash >> np.uint32(16)).astype(np.int64)
+    index.hash_bucket = np.searchsorted(high, np.arange(65537)).astype(np.int32)
+    max_bucket = int(np.diff(index.hash_bucket).max(initial=0))
+    index.bucket_steps = (
+        max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+    )
+
+
+def set_posting_row(
+    index: PostingIndex, h: int, seqids: np.ndarray, wpos: np.ndarray
+) -> None:
+    """Replace (or insert) the posting row of hash ``h`` in place.
+
+    Mirrors ``MinimizerIndex.__setitem__`` on the reference's live
+    ``minimizerPosLookupIndex`` view (``_fastani.pyx:1487-1500``): the
+    edit changes what L1 probes see; the position-ordered minimizer store
+    (used by L2's ``searchIndex``) and the frequency threshold are NOT
+    touched, exactly like the reference.
+    """
+    h = np.uint32(h)
+    u = int(np.searchsorted(index.uniq_hash, h))
+    present = u < index.n_unique and index.uniq_hash[u] == h
+    start = int(index.row_start[u]) if present else (
+        int(index.row_start[u]) if u < index.n_unique else index.post_seqid.shape[0]
+    )
+    old_len = int(index.row_len[u]) if present else 0
+    new_len = int(seqids.shape[0])
+
+    index.post_seqid = np.concatenate(
+        [index.post_seqid[:start], seqids.astype(np.int32),
+         index.post_seqid[start + old_len:]]
+    )
+    index.post_wpos = np.concatenate(
+        [index.post_wpos[:start], wpos.astype(np.int32),
+         index.post_wpos[start + old_len:]]
+    )
+    if present:
+        index.row_len = index.row_len.copy()
+        index.row_len[u] = new_len
+    else:
+        index.uniq_hash = np.insert(index.uniq_hash, u, h)
+        index.row_len = np.insert(index.row_len, u, new_len)
+        index.row_start = np.insert(index.row_start, u, 0)
+    delta = new_len - old_len
+    index.row_start = index.row_start.copy()
+    if present:
+        index.row_start[u + 1:] += delta
+    else:
+        index.row_start[u] = start
+        index.row_start[u + 1:] += delta
+    _rebuild_bucket(index)
+
+
+def delete_posting_row(index: PostingIndex, h: int) -> bool:
+    """Remove the posting row of hash ``h``; returns False when absent.
+
+    Mirrors ``MinimizerIndex.__delitem__`` (``_fastani.pyx:1502-1516``).
+    """
+    h = np.uint32(h)
+    u = int(np.searchsorted(index.uniq_hash, h))
+    if u >= index.n_unique or index.uniq_hash[u] != h:
+        return False
+    start = int(index.row_start[u])
+    length = int(index.row_len[u])
+    index.post_seqid = np.delete(
+        index.post_seqid, slice(start, start + length)
+    )
+    index.post_wpos = np.delete(index.post_wpos, slice(start, start + length))
+    index.uniq_hash = np.delete(index.uniq_hash, u)
+    index.row_start = np.delete(index.row_start, u)
+    index.row_len = np.delete(index.row_len, u)
+    index.row_start = index.row_start.copy()
+    index.row_start[u:] -= length
+    _rebuild_bucket(index)
+    return True
+
+
 # --- L1: candidate regions ---------------------------------------------------
 
 
@@ -174,6 +253,8 @@ def _l1_candidates(
     Returns merged candidate intervals (seq_id, c0, c1) arrays.
     """
     l = params.min_read_length
+    if index.n_unique == 0:
+        return (np.zeros(0, np.int32),) * 3
     # probe the CSR index; skip rows at/above the frequency threshold
     pos = np.searchsorted(index.uniq_hash, q_uniq)
     found = pos < index.n_unique

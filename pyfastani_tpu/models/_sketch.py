@@ -432,20 +432,14 @@ class Mapper(_Parameterized):
         """`MinimizerIndex`: The index of initial minimizer positions.
 
         This table is used to retrieve at which positions the minimizers
-        appear in the reference genomes.
+        appear in the reference genomes.  It is a *live* view: assigning
+        or deleting entries patches the posting index the mapper queries,
+        like the reference view over ``minimizerPosLookupIndex``
+        (``_fastani.pyx:1431-1539``).
         """
         from ._types import MinimizerIndex
 
-        idx = self._index
-        mapping = {}
-        for u in range(idx.n_unique):
-            start = int(idx.row_start[u])
-            length = int(idx.row_len[u])
-            mapping[int(idx.uniq_hash[u])] = [
-                Position(int(idx.post_seqid[start + i]), int(idx.post_wpos[start + i]))
-                for i in range(length)
-            ]
-        return MinimizerIndex._from_dict(mapping, self)
+        return MinimizerIndex._live(self)
 
     # --- methods -------------------------------------------------------------
 

@@ -178,14 +178,30 @@ class Minimizers:
 class MinimizerIndex:
     """The index mapping minimizer hash values to their positions.
 
-    A `dict`-backed MutableMapping view (hash -> list of `Position`),
-    mirroring the reference's view over the C++ ``unordered_map``
-    (``_fastani.pyx:1431-1539``).
+    A *live* MutableMapping view over the owner `Mapper`'s CSR posting
+    index, mirroring the reference's view over the C++
+    ``minimizerPosLookupIndex`` (``_fastani.pyx:1431-1539``): writes and
+    deletes patch the arrays the mapper's L1 stage actually probes, so
+    subsequent queries see the edit.  Like the reference, edits do NOT
+    touch the position-ordered minimizer store (L2's ``searchIndex``) or
+    the already-computed frequency threshold.
+
+    Rows materialize lazily on `__getitem__`; `__len__` is O(1) and
+    iteration is O(U).  A detached instance (no owner) falls back to a
+    plain dict, which is what unpickling produces -- the reference's view
+    also pickles by value (``:1518-1525``).
     """
 
     def __init__(self):
         self._map = {}
         self.owner = None
+
+    @classmethod
+    def _live(cls, owner):
+        self = cls.__new__(cls)
+        self._map = None
+        self.owner = owner
+        return self
 
     @classmethod
     def _from_dict(cls, mapping, owner):
@@ -194,35 +210,94 @@ class MinimizerIndex:
         self.owner = owner
         return self
 
+    # --- CSR helpers (live mode) ---------------------------------------------
+
+    def _index(self):
+        return self.owner._index
+
+    def _find(self, item):
+        """Return the CSR row of hash ``item`` or None."""
+        idx = self._index()
+        try:
+            h = int(item)
+        except (TypeError, ValueError):
+            return None
+        if h < 0 or h > 0xFFFFFFFF:
+            return None
+        u = int(np.searchsorted(idx.uniq_hash, np.uint32(h)))
+        if u < idx.n_unique and int(idx.uniq_hash[u]) == h:
+            return u
+        return None
+
     def __len__(self):
-        return len(self._map)
+        if self._map is not None:
+            return len(self._map)
+        return self._index().n_unique
 
     def __iter__(self):
-        return iter(self._map)
+        if self._map is not None:
+            return iter(self._map)
+        return (int(h) for h in self._index().uniq_hash)
 
     def __contains__(self, item):
-        return int(item) in self._map
+        if self._map is not None:
+            return int(item) in self._map
+        return self._find(item) is not None
 
     def __getitem__(self, item):
-        try:
-            return list(self._map[int(item)])
-        except KeyError:
-            raise KeyError(item) from None
-
-    def __setitem__(self, item, value):
-        self._map[int(item)] = [
-            Position(p.sequence_id, p.window_position) for p in value
+        if self._map is not None:
+            try:
+                return list(self._map[int(item)])
+            except KeyError:
+                raise KeyError(item) from None
+        u = self._find(item)
+        if u is None:
+            raise KeyError(item)
+        idx = self._index()
+        start = int(idx.row_start[u])
+        length = int(idx.row_len[u])
+        return [
+            Position(int(idx.post_seqid[start + i]), int(idx.post_wpos[start + i]))
+            for i in range(length)
         ]
 
+    def __setitem__(self, item, value):
+        positions = [
+            Position(p.sequence_id, p.window_position) for p in value
+        ]
+        if self._map is not None:
+            self._map[int(item)] = positions
+            return
+        from . import _engine_np as np_engine
+
+        np_engine.set_posting_row(
+            self._index(),
+            int(item),
+            np.asarray([p.sequence_id for p in positions], dtype=np.int32),
+            np.asarray([p.window_position for p in positions], dtype=np.int32),
+        )
+        self.owner._device_index = None
+
     def __delitem__(self, item):
-        try:
-            del self._map[int(item)]
-        except KeyError:
-            raise KeyError(item) from None
+        if self._map is not None:
+            try:
+                del self._map[int(item)]
+            except KeyError:
+                raise KeyError(item) from None
+            return
+        from . import _engine_np as np_engine
+
+        if not np_engine.delete_posting_row(self._index(), int(item)):
+            raise KeyError(item)
+        self.owner._device_index = None
 
     def __reduce__(self):
         return (MinimizerIndex, (), None, None, self.items())
 
     def items(self):
-        for key, positions in self._map.items():
-            yield key, list(positions)
+        if self._map is not None:
+            for key, positions in self._map.items():
+                yield key, list(positions)
+        else:
+            for key in self:
+                yield key, self[key]
