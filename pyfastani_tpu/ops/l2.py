@@ -8,19 +8,26 @@ at ``include/fastani/map/compute_map.pxd:30-51``); the effective count is
 ``_engine_np._l2_shared_curve``, forced by the exact-100.0 self-query
 goldens).  Pointer-chasing over a ``std::map`` has no TPU analogue.
 
-Formulation here: *presence events*.  A ref minimizer occurrence ``p``
-whose hash is in the query sketch makes that hash present in every window
-offset ``c ∈ [p - cmw + 1, p]``.  Distinctness (a hash occurring several
-times in one window counts once) is handled by clipping each occurrence's
-interval at the previous same-hash occurrence:
+Formulation here: *presence intervals evaluated at record anchors*.  A
+ref minimizer occurrence ``p`` whose hash is in the query sketch makes
+that hash present in every window offset ``c ∈ [p - cmw + 1, p]``.
+Distinctness (a hash occurring several times in one window counts once)
+is handled by clipping each occurrence's interval at the previous
+same-hash occurrence:
 
     start_j = max(p_j - cmw + 1, p_{j-1, same hash} + 1)
 
-which makes per-hash intervals disjoint while preserving their union.  The
-shared count for every offset of a candidate interval is then one
-difference-array scatter (+1 at start, -1 past end) and a cumulative sum --
-O(R + C) per interval instead of the dense O(C x R x S) contraction, and
-entirely VPU-friendly (compare, sort, scatter-add, cumsum).
+which makes per-hash intervals disjoint while preserving their union.
+The reference slides one ``searchIndex`` iterator at a time, so the only
+window offsets that matter are the *record positions* themselves -- and
+the shared count at anchor ``a`` is a pure interval-stabbing count:
+
+    shared(a) = #{j : start_j <= a} - #{j : p_j < a}
+
+two vectorized binary searches over the sorted starts / sorted ends of a
+chunk's presence intervals.  O((R log R) per chunk, no scatter, no
+(B, cmax) difference-array buffer -- TPU scatters serialize, and the
+anchor count (~2·span/(w+1)) is far below the offset count (span).
 
 Outputs are integers only -- identity and gate math happen on the host in
 one shared float32 code path, so host and device engines agree bitwise.
@@ -48,6 +55,22 @@ _BIG = np.int32(2**30)
 _SLAB = 64  # chunks processed per inner step to bound memory
 
 
+def _row_searchsorted(sorted_rows, keys, side: str):
+    """Per-row vectorized binary search: ``sorted_rows`` (B, N) ascending,
+    ``keys`` (B, K) -> (B, K) insertion points (``side`` as in numpy)."""
+    B, N = sorted_rows.shape
+    lo = jnp.zeros(keys.shape, jnp.int32)
+    hi = jnp.full(keys.shape, N, jnp.int32)
+    for _ in range(max(1, N.bit_length())):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = jnp.take_along_axis(sorted_rows, jnp.clip(mid, 0, N - 1), axis=1)
+        go_right = (v <= keys) if side == "right" else (v < keys)
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
 def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     """Shared-sketch curve extrema for a slab of interval chunks.
 
@@ -59,7 +82,9 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
             entries.
         c0: (B,) i32 first window offset of the chunk.
         clen: (B,) i32 number of offsets (<= cmax); 0 disables the chunk.
-        cmax: static offset budget.
+        cmax: static offset budget (bounds ``clen`` only -- the compute
+            cost is governed by R, not cmax, since the curve is evaluated
+            at record anchors directly).
         cmw: window width in k-mer positions.
 
     Returns:
@@ -106,41 +131,31 @@ def l2_event_curve(q, s, rh, rp, valid_j, c0, clen, cmax: int, cmw: int):
     qa = jnp.take_along_axis(q, jnp.clip(lo_q, 0, S - 1), axis=1)
     in_q = (lo_q < s_eff) & (qa == rh_k)
 
-    # difference-array events over local offsets t = c - c0
-    t_start = start - c0[:, None]
-    t_end = rp_k - c0[:, None]  # inclusive
-    cond = (
-        in_q
-        & (valid_k > 0)
-        & (t_end >= 0)
-        & (t_start <= clen[:, None] - 1)
-    )
-    plus = jnp.clip(t_start, 0, cmax)
-    minus = jnp.clip(t_end + 1, 0, cmax)
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
-    unit = cond.astype(jnp.int32)
-    ev = jnp.zeros((B, cmax + 1), jnp.int32)
-    ev = ev.at[rows, plus].add(unit)
-    ev = ev.at[rows, minus].add(-unit)
-    shared = jnp.cumsum(ev[:, :cmax], axis=1)
+    # presence intervals [start_j, p_j] of the in-sketch occurrences;
+    # non-contributing slots park at +BIG so they never stab an anchor
+    cond = in_q & (valid_k > 0)
+    starts_s = jnp.sort(jnp.where(cond, start, _BIG), axis=1)
+    ends_s = jnp.sort(jnp.where(cond, rp_k, _BIG), axis=1)
 
-    # restrict to record anchors: the reference slides one searchIndex
-    # iterator at a time, so candidate window starts are exactly the
-    # reference record positions inside the chunk ([reconstructed]
-    # computeL2MappedRegions; validated by the protein golden)
-    t_rec = rp_k - c0[:, None]
-    rec_here = (valid_k > 0) & (t_rec >= 0) & (t_rec < clen[:, None])
-    anchor = jnp.zeros((B, cmax + 1), jnp.int32)
-    anchor = anchor.at[rows, jnp.clip(t_rec, 0, cmax)].max(rec_here.astype(jnp.int32))
-    off = jnp.arange(cmax, dtype=jnp.int32)[None, :]
-    off_ok = (off < clen[:, None]) & (anchor[:, :cmax] > 0)
-    shared = jnp.where(off_ok, shared, jnp.int32(-1))
+    # evaluate shared() at the record anchors (every valid record position
+    # inside [c0, c0+clen)) with two interval-stabbing binary searches
+    anchor_ok = (
+        (valid_k > 0) & (rp_k >= c0[:, None]) & (rp_k < (c0 + clen)[:, None])
+    )
+    n_started = _row_searchsorted(starts_s, rp_k, "right")
+    n_ended = _row_searchsorted(ends_s, rp_k, "left")
+    shared = jnp.where(anchor_ok, n_started - n_ended, jnp.int32(-1))
 
     best = jnp.max(shared, axis=1)
     is_best = shared == best[:, None]
-    first = jnp.min(jnp.where(is_best, off, _BIG), axis=1)
-    last = jnp.max(jnp.where(is_best, off, -_BIG), axis=1)
-    return best, c0 + first, c0 + last
+    first = jnp.min(jnp.where(is_best, rp_k, _BIG), axis=1)
+    last = jnp.max(jnp.where(is_best, rp_k, -_BIG), axis=1)
+    # keep the no-anchor convention of the offset-scan formulation:
+    # best == -1 with first/last anchored at c0 (callers gate on best > 0)
+    none = best < 0
+    first = jnp.where(none, c0, first)
+    last = jnp.where(none, c0, last)
+    return best, first, last
 
 
 @functools.partial(jax.jit, static_argnames=("cmax", "rmax", "cmw"))
