@@ -54,8 +54,7 @@ def main():
     t_fragment = time.time() - t0
 
     l = session.params.min_read_length
-    F = sum(len(p[0]) for p in per_genome)
-    Fb = -(-max(-(-F // 128) * 128, session.n_data) // session.n_data) * session.n_data
+    Fb = session.frag_capacity
     frags = np.zeros((Fb, l + 4), dtype=np.uint8)
     frag_qg = np.zeros(Fb, dtype=np.int32)
     t0 = time.time()
@@ -67,16 +66,19 @@ def main():
             row += 1
     t_stage = time.time() - t0
 
-    qb = 1 << max(0, len(queries) - 1).bit_length()
-    fn = session._get_fn(qb)
-    dev_args = (jnp.asarray(frags), jnp.asarray(frag_qg), jnp.zeros(qb, jnp.int32))
+    fn = session._get_fn()
+    dev_args = (
+        jnp.asarray(frags),
+        jnp.asarray(frag_qg),
+        jnp.zeros(session._epoch + 1, jnp.int32),
+    )
     # device compute only (inputs already on device)
     darg0 = jax.device_put(dev_args[0])
     darg1 = jax.device_put(dev_args[1])
     darg2 = jax.device_put(dev_args[2])
     jax.block_until_ready((darg0, darg1, darg2))
     t0 = time.time()
-    out = fn(darg0, darg1, darg2, *session._index_args)
+    out = fn(darg0, darg1, darg2, *session._index_args, session._ident_tab)
     jax.block_until_ready(out)
     t_dev = time.time() - t0
 

@@ -13,6 +13,7 @@ try:
         murmur3_32,
         parse_fasta,
         reverse_complement,
+        winnow,
     )
 
     HAVE_NATIVE = True
@@ -41,3 +42,17 @@ except ImportError:  # pragma: no cover - exercised when unbuilt
         from .._fasta import Parser
 
         return [(r.id, r.seq) for r in Parser(path)]
+
+    def winnow(data, k, w, protein=False):
+        from ..models._engine_np import winnow_sequence
+        from ..models._params import Parameters
+
+        params = Parameters(
+            kmer_size=k,
+            window_size=w,
+            alphabet_size=20 if protein else 4,
+        )
+        h, p = winnow_sequence(
+            _np.frombuffer(bytes(data), dtype=_np.uint8), params
+        )
+        return h.tobytes(), p.tobytes()

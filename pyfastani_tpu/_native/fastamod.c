@@ -13,6 +13,15 @@
  *   reverse_complement(b)  -> bytes       (IUPAC-complete complement LUT,
  *                                          parity with _sequtils/complement.h)
  *   murmur3_32(data, seed) -> int         (MurmurHash3_x86_32)
+ *   winnow(data, k, w, protein) -> (hashes bytes, wpos bytes)
+ *       minimizer winnowing of one uppercased contig with the exact
+ *       reference deque semantics (_fastani.pyx:156-309): palindromic
+ *       k-mer skip, canonical min(fwd, rc) hash, tie-to-latest window
+ *       minimum, consecutive-occurrence dedup including the mutable-wpos
+ *       window-0 quirk.  This is the ingestion hot loop: reference
+ *       sketching is host data-loading work (the TPU keeps the query-time
+ *       compute), and a single C pass is orders of magnitude cheaper than
+ *       round-tripping genome-length arrays through the device tunnel.
  */
 
 #define PY_SSIZE_T_CLEAN
@@ -124,6 +133,122 @@ static PyObject *py_reverse_complement(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* --- minimizer winnowing --------------------------------------------------
+ *
+ * Literal-semantics reimplementation of skch::CommonFunc::addMinimizers as
+ * recorded by the reference Cython port (_fastani.pyx:156-309) and the
+ * test oracle (tests/oracle.py).  Works on one uppercased contig; the
+ * caller supplies seqId context (dedup never crosses contigs because the
+ * seqId field differs between records).
+ */
+
+typedef struct {
+    uint32_t hash;
+    int32_t pos;    /* k-mer position */
+    int32_t wfield; /* mutable wpos field, 0 until recorded (quirk) */
+} qent_t;
+
+static Py_ssize_t winnow_c(const uint8_t *data, Py_ssize_t n, int k, int w,
+                           int protein, uint32_t *out_h, int32_t *out_p,
+                           uint8_t *rc /* scratch, n bytes, may be NULL when
+                                          protein */) {
+    Py_ssize_t n_pos = n - k + 1;
+    Py_ssize_t count = 0;
+    if (!protein)
+        for (Py_ssize_t j = 0; j < n; j++)
+            rc[j] = COMPLEMENT_LOOKUP[data[n - 1 - j] & 0x7f];
+
+    /* deque as a ring buffer: at most w live entries */
+    Py_ssize_t qcap = (Py_ssize_t)w + 1;
+    qent_t *q = (qent_t *)malloc(sizeof(qent_t) * qcap);
+    if (!q) return -1;
+    Py_ssize_t qh = 0, qt = 0; /* [qh, qt) modulo qcap */
+
+    uint32_t last_hash = 0;
+    int32_t last_wpos = 0;
+    int have_last = 0;
+
+    for (Py_ssize_t i = 0; i < n_pos; i++) {
+        uint32_t current;
+        uint32_t hf = murmur3_x86_32(data + i, k, 42u);
+        if (!protein) {
+            uint32_t hb = murmur3_x86_32(rc + (n_pos - 1 - i), k, 42u);
+            if (hb == hf)
+                continue; /* palindromic k-mers skipped entirely */
+            current = hf < hb ? hf : hb;
+        } else {
+            current = hf;
+        }
+        int32_t window_id = (int32_t)i - w + 1;
+        while (qh != qt && q[qh % qcap].pos <= (int32_t)i - w)
+            qh++;
+        while (qh != qt && q[(qt - 1) % qcap].hash >= current)
+            qt--;
+        q[qt % qcap].hash = current;
+        q[qt % qcap].pos = (int32_t)i;
+        q[qt % qcap].wfield = 0;
+        qt++;
+        if (window_id >= 0) {
+            qent_t *front = &q[qh % qcap];
+            if (!have_last || last_hash != front->hash ||
+                last_wpos != front->wfield) {
+                front->wfield = window_id;
+                out_h[count] = front->hash;
+                out_p[count] = window_id;
+                last_hash = front->hash;
+                last_wpos = window_id;
+                have_last = 1;
+                count++;
+            }
+        }
+    }
+    free(q);
+    return count;
+}
+
+static PyObject *py_winnow(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    int k, w, protein = 0;
+    if (!PyArg_ParseTuple(args, "y*ii|p", &buf, &k, &w, &protein))
+        return NULL;
+    Py_ssize_t n = buf.len;
+    Py_ssize_t n_pos = n - k + 1;
+    if (k < 1 || w < 1) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "k and w must be >= 1");
+        return NULL;
+    }
+    if (n_pos < 1 || n_pos - w + 1 < 1) {
+        PyBuffer_Release(&buf);
+        return Py_BuildValue("(y#y#)", "", (Py_ssize_t)0, "", (Py_ssize_t)0);
+    }
+    uint32_t *oh = (uint32_t *)malloc(sizeof(uint32_t) * (size_t)n_pos);
+    int32_t *op = (int32_t *)malloc(sizeof(int32_t) * (size_t)n_pos);
+    uint8_t *rc = protein ? NULL : (uint8_t *)malloc((size_t)n);
+    if (!oh || !op || (!protein && !rc)) {
+        free(oh); free(op); free(rc);
+        PyBuffer_Release(&buf);
+        return PyErr_NoMemory();
+    }
+    Py_ssize_t count;
+    Py_BEGIN_ALLOW_THREADS
+    count = winnow_c((const uint8_t *)buf.buf, n, k, w, protein, oh, op, rc);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf);
+    free(rc);
+    PyObject *ret = NULL;
+    if (count < 0) {
+        PyErr_NoMemory();
+    } else {
+        ret = Py_BuildValue("(y#y#)", (const char *)oh,
+                            (Py_ssize_t)(count * 4), (const char *)op,
+                            (Py_ssize_t)(count * 4));
+    }
+    free(oh);
+    free(op);
+    return ret;
+}
+
 #define LINE_BUFFER 2048
 
 static PyObject *py_parse_fasta(PyObject *self, PyObject *args) {
@@ -217,6 +342,8 @@ static PyMethodDef Methods[] = {
      "reverse_complement(bytes) -> IUPAC reverse complement"},
     {"murmur3_32", py_murmur3_32, METH_VARARGS,
      "murmur3_32(data, seed=42) -> uint32 hash"},
+    {"winnow", py_winnow, METH_VARARGS,
+     "winnow(data, k, w, protein=False) -> (hashes_u32_bytes, wpos_i32_bytes)"},
     {NULL, NULL, 0, NULL}
 };
 

