@@ -2,11 +2,22 @@
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Two phases, both through `ShardedSession.query_many`:
+
+* **small batch** (4 queries x 10 refs, the r01/r02 workload -- kept for
+  round-over-round comparability, reported in ``detail``);
+* **all-vs-all** (the headline): N genomes in mutation families, every
+  genome queried against the full N-genome index, packed into
+  fixed-capacity multi-genome dispatches.  This is the genome-pairs/s
+  workload the >=10x target is defined on (BASELINE.md:4-7).
+
 Baseline: reference pyfastani v0.6.0 CPU benchmark -- mean single-genome
 query wall time 1.45 s at 12 threads over 50 proGenomes bacterial genomes
 of mean 6.25 Mbp (``/root/reference/benches/mapping/v0.6.0.json``,
 hardware ``README.md:148-152``), i.e. ~4.3 Mbp/s of query sequence.
-``vs_baseline`` is this engine's query Mbp/s divided by 4.3.
+``vs_baseline`` is this engine's all-vs-all query Mbp/s divided by 4.3
+(per-pair CPU cost is per-queried-Mbp, so Mbp/s is the
+workload-size-independent form of pairs/s).
 """
 
 import json
@@ -18,15 +29,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# keep XLA compiles cached across bench runs (configured via jax.config by
-# pyfastani_tpu.utils.jaxconfig -- env vars are ignored by this jaxlib build)
-
 BASELINE_MBP_S = 4.3
 
 N_REFS = int(os.environ.get("BENCH_REFS", "10"))
 REF_LEN = int(os.environ.get("BENCH_REF_LEN", "2000000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4"))
+AVA_GENOMES = int(os.environ.get("BENCH_AVA_GENOMES", "32"))
+AVA_LEN = int(os.environ.get("BENCH_AVA_LEN", "2000000"))
+AVA_FAMILY = 4  # genomes per mutation family
 MUT_RATE = 0.03
+
+
+def _mutate(rng, base, rate):
+    arr = base.copy()
+    idx = rng.random(arr.shape[0]) < rate
+    arr[idx] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(idx.sum()))
+    return arr
 
 
 def _genomes():
@@ -35,11 +53,21 @@ def _genomes():
     refs = [rng.choice(alphabet, size=REF_LEN).tobytes() for _ in range(N_REFS)]
     queries = []
     for i in range(N_QUERIES):
-        base = np.frombuffer(refs[i % N_REFS], dtype=np.uint8).copy()
-        idx = rng.random(base.shape[0]) < MUT_RATE
-        base[idx] = rng.choice(alphabet, size=int(idx.sum()))
-        queries.append(base.tobytes())
+        base = np.frombuffer(refs[i % N_REFS], dtype=np.uint8)
+        queries.append(_mutate(rng, base, MUT_RATE).tobytes())
     return refs, queries
+
+
+def _ava_genomes():
+    """N genomes in families of AVA_FAMILY mutants of a shared ancestor."""
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out = []
+    for fam in range(-(-AVA_GENOMES // AVA_FAMILY)):
+        base = rng.choice(alphabet, size=AVA_LEN)
+        for _ in range(min(AVA_FAMILY, AVA_GENOMES - len(out))):
+            out.append(_mutate(rng, base, MUT_RATE).tobytes())
+    return out
 
 
 def _log(msg):
@@ -54,6 +82,11 @@ def main():
     from pyfastani_tpu.parallel.sharded import ShardedSession
 
     _log(f"devices: {jax.devices()}")
+    n_dev = len(jax.devices())
+    mesh = make_mesh(1, n_dev)
+    detail = {"devices": n_dev, "backend": jax.default_backend()}
+
+    # ---- phase 1: small batch (r01/r02-comparable) -------------------------
     refs, queries = _genomes()
     _log(f"generated {N_REFS} refs x {REF_LEN} bp, {N_QUERIES} queries")
 
@@ -61,17 +94,11 @@ def main():
     sketch = Sketch()
     for i, r in enumerate(refs):
         sketch.add_genome(f"ref{i}", r)
-        _log(f"sketched ref{i}")
     mapper = sketch.index()
     t_index = time.time() - t0
     _log(f"indexed in {t_index:.1f}s ({mapper._index.n_minimizers} minimizers)")
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(1, n_dev)
-
     session = ShardedSession(mapper, mesh)
-
-    # warmup: compile the batched sharded step
     _log("warmup (compiles the batched sharded step)...")
     t0 = time.time()
     session.query_many([[q] for q in queries])
@@ -80,28 +107,63 @@ def main():
 
     t0 = time.time()
     results = session.query_many([[q] for q in queries])
-    elapsed = time.time() - t0
-    total_bp = sum(len(q) for q in queries)
+    small_elapsed = time.time() - t0
+    small_bp = sum(len(q) for q in queries)
     for qi, hits in enumerate(results):
         assert hits, f"benchmark query {qi} produced no hits"
-        _log(f"query {qi}: {[(h.name, h.matches) for h in hits][:2]}")
+    _log(
+        f"small batch: {small_bp/1e6:.0f} Mbp in {small_elapsed:.2f}s "
+        f"({small_bp/1e6/small_elapsed:.2f} Mbp/s)"
+    )
+    detail.update(
+        n_refs=N_REFS, ref_len=REF_LEN, n_queries=N_QUERIES,
+        index_s=round(t_index, 2), warmup_s=round(t_warm, 2),
+        query_s_per_genome=round(small_elapsed / N_QUERIES, 3),
+        small_mbp_s=round(small_bp / 1e6 / small_elapsed, 3),
+    )
 
-    mbp_s = total_bp / 1e6 / elapsed
+    # ---- phase 2: all-vs-all (headline) ------------------------------------
+    genomes = _ava_genomes()
+    _log(f"all-vs-all: {len(genomes)} genomes x {AVA_LEN} bp")
+    t0 = time.time()
+    sketch = Sketch()
+    for i, g in enumerate(genomes):
+        sketch.add_genome(f"g{i}", g)
+    mapper = sketch.index()
+    t_ava_index = time.time() - t0
+    _log(f"ava index in {t_ava_index:.1f}s ({mapper._index.n_minimizers} minimizers)")
+
+    session = ShardedSession(mapper, mesh)
+    t0 = time.time()
+    session.query_many([[g] for g in genomes])  # compiles the packed buckets
+    t_ava_warm = time.time() - t0
+    _log(f"ava warmup {t_ava_warm:.1f}s")
+
+    t0 = time.time()
+    results = session.query_many([[g] for g in genomes])
+    ava_elapsed = time.time() - t0
+    n_pairs = len(genomes) * len(genomes)
+    ava_bp = sum(len(g) for g in genomes)
+    hits_total = sum(len(h) for h in results)
+    assert all(results[i] for i in range(len(genomes))), "ava query with no hits"
+    mbp_s = ava_bp / 1e6 / ava_elapsed
+    _log(
+        f"all-vs-all: {n_pairs} pairs, {ava_bp/1e6:.0f} Mbp in {ava_elapsed:.2f}s "
+        f"({n_pairs/ava_elapsed:.1f} pairs/s, {mbp_s:.2f} Mbp/s, {hits_total} hits)"
+    )
+    detail.update(
+        ava_genomes=len(genomes), ava_len=AVA_LEN,
+        ava_index_s=round(t_ava_index, 2), ava_warmup_s=round(t_ava_warm, 2),
+        ava_pairs=n_pairs, ava_pairs_per_s=round(n_pairs / ava_elapsed, 2),
+        ava_hits=hits_total,
+    )
+
     result = {
         "metric": "query_throughput",
         "value": round(mbp_s, 3),
         "unit": "Mbp/s",
         "vs_baseline": round(mbp_s / BASELINE_MBP_S, 3),
-        "detail": {
-            "n_refs": N_REFS,
-            "ref_len": REF_LEN,
-            "n_queries": N_QUERIES,
-            "index_s": round(t_index, 2),
-            "warmup_s": round(t_warm, 2),
-            "query_s_per_genome": round(elapsed / N_QUERIES, 3),
-            "devices": n_dev,
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

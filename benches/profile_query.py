@@ -54,16 +54,17 @@ def main():
     t_fragment = time.time() - t0
 
     l = session.params.min_read_length
-    Fb = session.frag_capacity
+    Fb = session._frag_bucket(sum(p[1] for p in per_genome))
     frags = np.zeros((Fb, l + 4), dtype=np.uint8)
     frag_qg = np.zeros(Fb, dtype=np.int32)
     t0 = time.time()
     row = 0
-    for qg, (frag_list, _, _) in enumerate(per_genome):
-        for f in frag_list:
-            frags[row, :l] = f
-            frag_qg[row] = qg
-            row += 1
+    for qg, (blocks, _, _) in enumerate(per_genome):
+        for block in blocks:
+            n = block.shape[0]
+            frags[row : row + n, :l] = block
+            frag_qg[row : row + n] = qg
+            row += n
     t_stage = time.time() - t0
 
     fn = session._get_fn()

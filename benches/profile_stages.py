@@ -98,12 +98,14 @@ def main():
     full_args = [jnp.asarray(a[0]) for a in (
         sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_seqid,
         sidx.post_wpos, sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid,
-        sidx.mini_gpos, sidx.contig_offset, sidx.seq_to_genome)]
+        sidx.mini_gpos, sidx.mini_prev, sidx.contig_offset,
+        sidx.seq_to_genome)]
     static = dict(k=k, w=w, length=l, protein=False, l=l,
                   hmax=b["hmax"], ivmax=b["ivmax"], cmax=b["cmax"],
                   rmax=b["rmax"], t_chunks=b["t_chunks"], g_max=g_max,
                   bin_max=b["bin_max"], smax=smax, q_count=4,
-                  bucket_steps=sidx.bucket_steps)
+                  bucket_steps=sidx.bucket_steps,
+                  use_pallas=session._use_pallas)
     ident2d = stats.identity_table(smax, k)
     fullfn = jax.jit(lambda fr, qg: _query_block_impl(
         fr, qg, *full_args, thr, hb, jnp.asarray(tab), jnp.asarray(gate),

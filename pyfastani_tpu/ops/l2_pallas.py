@@ -1,0 +1,288 @@
+"""Pallas TPU kernel for the L2 shared-sketch sweep.
+
+The XLA formulation (`ops.l2.l2_event_curve`) evaluates each candidate
+chunk with a sort + two interval-stabbing binary searches -- ~25 gather
+passes over HBM per slab.  This kernel keeps one chunk's working set
+resident in VMEM and replaces every gather/sort with dense VPU
+compare-reductions, which is the shape TPUs like:
+
+* the chunk's reference-minimizer slice is DMA'd from HBM with one
+  dynamic row slice per array (no XLA gather);
+* the in-chunk sort of `l2_event_curve` existed only to find each
+  record's *previous same-hash occurrence* -- that is a pure function of
+  the reference index, so it is precomputed once at index build
+  (``mini_prev``) and DMA'd like the other per-minimizer arrays.  Using
+  the global previous occurrence is semantically identical inside a
+  chunk: a previous occurrence before the chunk's range satisfies
+  ``prev < c0 <= anchor``, so the interval clip at ``prev + 1`` can
+  never exclude an in-range anchor;
+* sketch membership is a dense (Rr, 128, Sc) any-equal over the
+  fragment's sorted sketch row;
+* the anchor-stabbing counts are eight (128, Rr, 128) masked sums
+  (one per 128-record interval block).
+
+Semantics are identical to `l2_event_curve` (same best/first/last per
+chunk, validated by tests/test_l2_pallas.py against the XLA path and
+the host oracle); reference behavior reconstructed from
+``slidingMap.hpp`` / ``computeL2MappedRegions`` declared at
+``include/fastani/map/compute_map.pxd:30-51``.
+
+Layout contract (see `l2_chunks_pallas`):
+
+* minimizer arrays are reshaped to (Mr, 128) rows with ``Rr + 8`` guard
+  rows appended; a chunk's range starting at element ``lo`` is the row
+  slice ``[lo // 128, lo // 128 + Rr)`` plus an in-row offset
+  ``lo % 128`` -- Mosaic requires the slice *height* to be a multiple
+  of 8 but allows arbitrary row offsets;
+* the per-fragment sketch matrix gets 8 pad rows so the kernel can DMA
+  the 8-aligned row group containing ``frag`` (rows wider than 128
+  lanes require 8-aligned row offsets) and select the row in-register.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxconfig import configure as _configure_jax
+
+_configure_jax()
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["l2_chunks_pallas", "compute_mini_prev"]
+
+_UMAX = np.uint32(0xFFFFFFFF)
+_BIG = np.int32(2**30)
+
+
+def compute_mini_prev(
+    mini_hash: np.ndarray, mini_seqid: np.ndarray, mini_wpos: np.ndarray
+) -> np.ndarray:
+    """Per-minimizer previous same-hash occurrence (same contig), as a
+    contig-local window position; -2**30 where none exists.
+
+    This is the precomputation that lets the L2 kernels clip presence
+    intervals without sorting the chunk by hash (see module docstring).
+    """
+    m = mini_hash.shape[0]
+    if m == 0:
+        return np.zeros(0, np.int32)
+    order = np.lexsort((mini_wpos, mini_seqid, mini_hash))
+    h = mini_hash[order]
+    s = mini_seqid[order]
+    p = mini_wpos[order]
+    prev = np.full(m, -_BIG, np.int32)
+    same = (h[1:] == h[:-1]) & (s[1:] == s[:-1])
+    prev[1:][same] = p[:-1][same]
+    out = np.empty(m, np.int32)
+    out[order] = prev
+    return out
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    row_ref,  # (N,) i32 row index of the range start in the (Mr, 128) slabs
+    ofs_ref,  # (N,) i32 in-row element offset of the range start
+    rlen_ref,  # (N,) i32 number of real ref minimizers in the range
+    frag_ref,  # (N,) i32 fragment row of the chunk
+    c0_ref,  # (N,) i32 first window offset
+    clen_ref,  # (N,) i32 number of window offsets
+    seq_ref,  # (N,) i32 contig id the chunk belongs to
+    # tensor operands (stay in HBM; sliced via DMA)
+    mh_ref,  # (Mr, 128) u32 position-ordered minimizer hashes
+    mp_ref,  # (Mr, 128) i32 window positions
+    ms_ref,  # (Mr, 128) i32 contig ids
+    mv_ref,  # (Mr, 128) i32 previous same-hash occurrence (contig-local)
+    q_ref,  # (F + 8, Sc) u32 sorted sketch hashes (UMAX pad)
+    # outputs
+    best_ref,  # (N,) i32
+    first_ref,  # (N,) i32
+    last_ref,  # (N,) i32
+    # scratch
+    rh_s,  # (Rr, 128) u32
+    rp_s,  # (Rr, 128) i32
+    rs_s,  # (Rr, 128) i32
+    rv_s,  # (Rr, 128) i32
+    q_s,  # (8, Sc) u32
+    sem,  # DMA semaphores (5,)
+    *,
+    Rr: int,
+    Sc: int,
+    cmw: int,
+):
+    i = pl.program_id(0)
+    row = row_ref[i]
+    # q rows wider than 128 lanes need an 8-aligned row offset; DMA the
+    # aligned 8-row group and select the fragment's row in-register
+    frag = frag_ref[i]
+    fbase = (frag // 8) * 8
+    fsub = frag - fbase
+
+    cp_h = pltpu.make_async_copy(mh_ref.at[pl.ds(row, Rr)], rh_s, sem.at[0])
+    cp_p = pltpu.make_async_copy(mp_ref.at[pl.ds(row, Rr)], rp_s, sem.at[1])
+    cp_s = pltpu.make_async_copy(ms_ref.at[pl.ds(row, Rr)], rs_s, sem.at[2])
+    cp_v = pltpu.make_async_copy(mv_ref.at[pl.ds(row, Rr)], rv_s, sem.at[3])
+    cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[4])
+    cp_h.start()
+    cp_p.start()
+    cp_s.start()
+    cp_v.start()
+    cp_q.start()
+    cp_h.wait()
+    cp_p.wait()
+    cp_s.wait()
+    cp_v.wait()
+    cp_q.wait()
+
+    ofs = ofs_ref[i]
+    rlen = rlen_ref[i]
+    c0 = c0_ref[i]
+    clen = clen_ref[i]
+    seq = seq_ref[i]
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
+        jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
+    )
+    valid = (flat >= ofs) & (flat < ofs + rlen) & (rs_s[...] == seq)
+    rp = jnp.where(valid, rp_s[...], _BIG)
+
+    # sketch membership: dense any-equal against the fragment's sketch row
+    # (the row's UMAX padding can only match masked-off slots, which are
+    # excluded again by `valid` below)
+    rh = rh_s[...]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
+    # Mosaic has no unsigned reductions: select the row via a signed sum
+    # (exactly one non-zero row, so the sum is a bit-exact copy)
+    q_i32 = jnp.where(
+        row_ids == fsub, q_s[...].astype(jnp.int32), jnp.int32(0)
+    )
+    q_row = jnp.sum(q_i32, axis=0, keepdims=True).astype(jnp.uint32)  # (1, Sc)
+    in_q = jnp.zeros((Rr, 128), jnp.bool_)
+    for t in range(Sc // 128):
+        qb = q_row[:, t * 128 : (t + 1) * 128]  # (1, 128)
+        eq = rh[:, :, None] == qb[None, :, :]  # (Rr, 128, 128)
+        in_q = in_q | jnp.any(eq, axis=2)
+
+    # presence interval of each in-sketch occurrence: [start_j, p_j],
+    # clipped at the previous same-hash occurrence so per-hash intervals
+    # are disjoint (their union is unchanged)
+    start = jnp.maximum(rp - (cmw - 1), rv_s[...] + 1)
+    cond = in_q & valid
+
+    # anchors = record positions inside [c0, c0 + clen); count the
+    # intervals stabbing each anchor, one 128-interval block at a time
+    anchor_ok = valid & (rp >= c0) & (rp < c0 + clen)
+    acc = jnp.zeros((Rr, 128), jnp.int32)
+    for jb in range(Rr):
+        st_b = start[jb : jb + 1, :]  # (1, 128) interval starts
+        en_b = rp[jb : jb + 1, :]
+        cd_b = cond[jb : jb + 1, :]
+        stab = (
+            cd_b[None, :, :]
+            & (st_b[None, :, :] <= rp[:, :, None])
+            & (rp[:, :, None] <= en_b[None, :, :])
+        )  # (Rr, 128, 128): [anchor_row, anchor_col, interval]
+        acc = acc + jnp.sum(stab.astype(jnp.int32), axis=2)
+
+    shared = jnp.where(anchor_ok, acc, -1)
+    best = jnp.max(shared)
+    is_best = shared == best
+    first = jnp.min(jnp.where(is_best, rp, _BIG))
+    last = jnp.max(jnp.where(is_best, rp, -_BIG))
+    none = best < 0
+    best_ref[i] = best
+    first_ref[i] = jnp.where(none, c0, first)
+    last_ref[i] = jnp.where(none, c0, last)
+
+
+@functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
+def _l2_pallas_impl(
+    row, ofs, rlen, frag, c0, clen, seq, mh2d, mp2d, ms2d, mv2d, q_pad,
+    Rr: int, Sc: int, cmw: int, interpret: bool = False,
+):
+    N = row.shape[0]
+    kern = functools.partial(_kernel, Rr=Rr, Sc=Sc, cmw=cmw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Rr, 128), jnp.uint32),
+            pltpu.VMEM((Rr, 128), jnp.int32),
+            pltpu.VMEM((Rr, 128), jnp.int32),
+            pltpu.VMEM((Rr, 128), jnp.int32),
+            pltpu.VMEM((8, Sc), jnp.uint32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(row, ofs, rlen, frag, c0, clen, seq, mh2d, mp2d, ms2d, mv2d, q_pad)
+
+
+def _pad_rows_2d(arr_1d, fill, Mr: int, guard_rows: int):
+    """(M,) -> (Mr + guard_rows, 128) row-major with `fill` padding."""
+    M = arr_1d.shape[0]
+    total = (Mr + guard_rows) * 128
+    flat = jnp.full((total,), fill, arr_1d.dtype)
+    flat = jax.lax.dynamic_update_slice(flat, arr_1d, (0,))
+    return flat.reshape(Mr + guard_rows, 128)
+
+
+def l2_chunks_pallas(
+    q_sorted,  # (F, S) u32 sorted sketches, UMAX pad
+    mini_hash,  # (M,) u32 position-ordered
+    mini_wpos,  # (M,) i32
+    mini_seqid,  # (M,) i32
+    mini_prev,  # (M,) i32 previous same-hash occurrence (see compute_mini_prev)
+    chunk_frag,  # (N,) i32
+    chunk_c0,  # (N,) i32
+    chunk_clen,  # (N,) i32
+    chunk_lo,  # (N,) i32 first ref-minimizer element index of the range
+    chunk_rlen,  # (N,) i32 range length
+    chunk_seq,  # (N,) i32
+    cmw: int,
+    R: int,
+    interpret: bool = False,
+):
+    """Evaluate chunk curves on TPU; returns (best, first, last) (N,) i32.
+
+    ``R`` must be a multiple of 1024 and at least max(chunk_rlen) + 128
+    (the extra 128 absorbs the in-row offset of the range start).
+    """
+    if R % 1024:
+        raise ValueError(f"R must be a multiple of 1024, got {R}")
+    Rr = R // 128
+    M = int(mini_hash.shape[0])
+    Mr = max(1, -(-M // 128))
+
+    mh2d = _pad_rows_2d(jnp.asarray(mini_hash), _UMAX, Mr, Rr + 8)
+    mp2d = _pad_rows_2d(jnp.asarray(mini_wpos, jnp.int32), _BIG, Mr, Rr + 8)
+    ms2d = _pad_rows_2d(jnp.asarray(mini_seqid, jnp.int32), _BIG, Mr, Rr + 8)
+    mv2d = _pad_rows_2d(jnp.asarray(mini_prev, jnp.int32), -_BIG, Mr, Rr + 8)
+
+    F, S = q_sorted.shape
+    Sc = max(128, -(-S // 128) * 128)
+    q_pad = jnp.full((F + 8, Sc), _UMAX, jnp.uint32)
+    q_pad = jax.lax.dynamic_update_slice(q_pad, jnp.asarray(q_sorted), (0, 0))
+
+    row = chunk_lo // 128
+    ofs = chunk_lo - row * 128
+    return _l2_pallas_impl(
+        row, ofs, chunk_rlen, chunk_frag, chunk_c0, chunk_clen, chunk_seq,
+        mh2d, mp2d, ms2d, mv2d, q_pad,
+        Rr, Sc, cmw, interpret,
+    )

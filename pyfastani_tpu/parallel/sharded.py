@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import stats
 from ..ops.l1 import l1_candidates_device
 from ..ops.l2 import l2_event_curve
+from ..ops.l2_pallas import compute_mini_prev
 
 __all__ = ["ShardedIndex", "ShardedSession", "build_sharded_index", "sharded_query"]
 
@@ -60,6 +62,7 @@ class ShardedIndex:
     mini_wpos: np.ndarray  # (n, M) i32
     mini_seqid: np.ndarray  # (n, M) i32
     mini_gpos: np.ndarray  # (n, M) i32 global coords, strictly increasing
+    mini_prev: np.ndarray  # (n, M) i32 previous same-hash occurrence (wpos)
     contig_offset: np.ndarray  # (n, C+1) i32 cumulative global offsets
     seq_to_genome: np.ndarray  # (n, C) i32 contig -> local genome id
     freq_threshold: np.ndarray  # (n,) i32
@@ -162,6 +165,10 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
             else np.zeros(0, np.int32)
         )
 
+    prev = [
+        compute_mini_prev(s.mini_hash, s.mini_seqid, s.mini_wpos) for s in subs
+    ]
+
     return ShardedIndex(
         uniq_hash=pad2([s.uniq_hash for s in subs], 0xFFFFFFFF, np.uint32),
         row_start=pad2([s.row_start.astype(np.int32) for s in subs], 0, np.int32),
@@ -172,6 +179,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         mini_wpos=pad2([s.mini_wpos for s in subs], _BIG, np.int32),
         mini_seqid=pad2([s.mini_seqid for s in subs], _BIG, np.int32),
         mini_gpos=pad2(gpos, _BIG, np.int32),
+        mini_prev=pad2(prev, -_BIG, np.int32),
         contig_offset=np.stack(offsets),
         seq_to_genome=pad2(
             [np.asarray(s[1], np.int32) for s in shards], 0, np.int32,
@@ -197,16 +205,22 @@ _CH_SLAB = 256  # chunk work items per inner step (wide slabs cut the
 
 def _l2_interval_scan(
     q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
-    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
-    cmw: int, cmax: int, rmax: int, ch_max: int,
+    mini_hash, mini_wpos, mini_seqid, mini_gpos, mini_prev, contig_offset,
+    cmw: int, cmax: int, rmax: int, ch_max: int, use_pallas: bool = False,
 ):
     """(best, first, last, ovf_chunks, ovf_r) per interval.
 
     Work is compacted on device into per-chunk items (interval x offset
-    chunk); invalid interval slots produce no work.  A ``lax.map`` over
-    chunk slabs evaluates the shared-sketch curve with the difference-array
-    event scan (`ops.l2.l2_event_curve`), and per-interval results merge
-    back with segment reductions.
+    chunk); invalid interval slots produce no work.  Two equivalent chunk
+    evaluators (bit-identical outputs, see tests/test_l2_pallas.py):
+
+    * XLA: a ``lax.map`` over chunk slabs running the event-scan
+      (`ops.l2.l2_event_curve`) -- the portable path, used on CPU;
+    * Pallas (``use_pallas=True``): the VMEM-resident kernel
+      (`ops.l2_pallas`) -- one DMA per chunk instead of ~25 gather
+      passes, the TPU fast path.
+
+    Per-interval results merge back with segment reductions either way.
     """
     NI = iv_seq.shape[0]
     span = jnp.where(iv_valid, iv_c1 - iv_c0 + 1, 0)
@@ -231,38 +245,73 @@ def _l2_interval_scan(
 
     M = mini_hash.shape[0]
 
-    def slab_fn(args):
-        frag, seq, base, c0, clen, valid_c = args
-        lo = jnp.searchsorted(mini_gpos, base + c0).astype(jnp.int32)
+    if use_pallas:
+        from ..ops.l2_pallas import _l2_pallas_impl, _pad_rows_2d
+
+        R = _round_up(rmax + 128, 1024)
+        Rr = R // 128
+        lo = jnp.searchsorted(mini_gpos, ch_base + ch_c0).astype(jnp.int32)
         hi = jnp.searchsorted(
-            mini_gpos, base + jnp.minimum(c0 + clen - 1 + cmw, _BIG)
+            mini_gpos, ch_base + jnp.minimum(ch_c0 + ch_len - 1 + cmw, _BIG)
         ).astype(jnp.int32)
-        rovf = jnp.any(valid_c & (hi - lo > rmax))
+        rlen = jnp.where(ch_valid, hi - lo, 0)
+        rovf = jnp.any(rlen > R - 128)
+        rlen = jnp.clip(rlen, 0, R - 128)
+        clen_eff = jnp.where(ch_valid, ch_len, 0)
 
-        j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
-        gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
-        valid_j = (
-            (mini_seqid[gidx] == seq[:, None])
-            & (j_idx < (hi - lo)[:, None])
-            & valid_c[:, None]
+        Mr = max(1, -(-M // 128))
+        mh2d = _pad_rows_2d(mini_hash, np.uint32(0xFFFFFFFF), Mr, Rr + 8)
+        mp2d = _pad_rows_2d(mini_wpos, _BIG, Mr, Rr + 8)
+        ms2d = _pad_rows_2d(mini_seqid, _BIG, Mr, Rr + 8)
+        mv2d = _pad_rows_2d(mini_prev, np.int32(-_BIG), Mr, Rr + 8)
+        F, S = q_sorted.shape
+        Sc = max(128, -(-S // 128) * 128)
+        q_pad = jnp.full((F + 8, Sc), np.uint32(0xFFFFFFFF), jnp.uint32)
+        q_pad = jax.lax.dynamic_update_slice(q_pad, q_sorted, (0, 0))
+
+        # PYFASTANI_TPU_PALLAS_INTERPRET=1 runs the kernel through the
+        # Pallas interpreter (trace-time switch; lets the CPU test mesh
+        # exercise this exact branch)
+        interp = os.environ.get("PYFASTANI_TPU_PALLAS_INTERPRET") == "1"
+        cbest, cfirst, clast = _l2_pallas_impl.__wrapped__(
+            lo // 128, lo % 128, rlen, ch_frag, ch_c0, clen_eff, ch_seq,
+            mh2d, mp2d, ms2d, mv2d, q_pad, Rr, Sc, cmw, interp,
         )
-        rh = jnp.where(valid_j, mini_hash[gidx], jnp.uint32(0xFFFFFFFF))
-        rp = jnp.where(valid_j, mini_wpos[gidx], _BIG)
-        clen_eff = jnp.where(valid_c, clen, 0)
-        return l2_event_curve(
-            q_sorted[frag], s_sizes[frag], rh, rp, valid_j, c0, clen_eff,
-            cmax, cmw,
-        ) + (rovf,)
+        rovf = rovf[None]
+    else:
 
-    n_slabs = ch_max // _CH_SLAB
-    args = tuple(
-        a.reshape(n_slabs, _CH_SLAB)
-        for a in (ch_frag, ch_seq, ch_base, ch_c0, ch_len, ch_valid)
-    )
-    cbest, cfirst, clast, rovf = jax.lax.map(slab_fn, args)
-    cbest = cbest.reshape(-1)
-    cfirst = cfirst.reshape(-1)
-    clast = clast.reshape(-1)
+        def slab_fn(args):
+            frag, seq, base, c0, clen, valid_c = args
+            lo = jnp.searchsorted(mini_gpos, base + c0).astype(jnp.int32)
+            hi = jnp.searchsorted(
+                mini_gpos, base + jnp.minimum(c0 + clen - 1 + cmw, _BIG)
+            ).astype(jnp.int32)
+            rovf = jnp.any(valid_c & (hi - lo > rmax))
+
+            j_idx = jnp.arange(rmax, dtype=jnp.int32)[None, :]
+            gidx = jnp.clip(lo[:, None] + j_idx, 0, max(M - 1, 0))
+            valid_j = (
+                (mini_seqid[gidx] == seq[:, None])
+                & (j_idx < (hi - lo)[:, None])
+                & valid_c[:, None]
+            )
+            rh = jnp.where(valid_j, mini_hash[gidx], jnp.uint32(0xFFFFFFFF))
+            rp = jnp.where(valid_j, mini_wpos[gidx], _BIG)
+            clen_eff = jnp.where(valid_c, clen, 0)
+            return l2_event_curve(
+                q_sorted[frag], s_sizes[frag], rh, rp, valid_j, c0, clen_eff,
+                cmax, cmw,
+            ) + (rovf,)
+
+        n_slabs = ch_max // _CH_SLAB
+        args = tuple(
+            a.reshape(n_slabs, _CH_SLAB)
+            for a in (ch_frag, ch_seq, ch_base, ch_c0, ch_len, ch_valid)
+        )
+        cbest, cfirst, clast, rovf = jax.lax.map(slab_fn, args)
+        cbest = cbest.reshape(-1)
+        cfirst = cfirst.reshape(-1)
+        clast = clast.reshape(-1)
 
     # merge chunk results per interval (max + first/last argmax)
     seg = jnp.where(ch_valid, iv_of_c, NI)
@@ -282,13 +331,13 @@ def _query_block_impl(
     frags,
     frag_qg,
     uniq_hash, row_start, row_len, post_seqid, post_wpos,
-    mini_hash, mini_wpos, mini_seqid, mini_gpos, contig_offset,
+    mini_hash, mini_wpos, mini_seqid, mini_gpos, mini_prev, contig_offset,
     seq_to_genome, freq_threshold, hash_bucket,
     min_hits_table, gate_table, ident_table,
     k: int, w: int, length: int, protein: bool, l: int,
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
-    bucket_steps: int = 21,
+    bucket_steps: int = 21, use_pallas: bool = False,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
@@ -328,7 +377,7 @@ def _query_block_impl(
         q_sorted, s_sizes,
         frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
-        contig_offset, cmw, cmax, rmax, ch_max,
+        mini_prev, contig_offset, cmw, cmax, rmax, ch_max, use_pallas,
     )
     # per-budget overflow flags: [smax, hmax, ivmax, t_chunks, rmax]
     ovf_vec = jnp.stack([
@@ -395,8 +444,22 @@ _query_block = functools.partial(
     static_argnames=(
         "k", "w", "length", "protein", "l", "hmax", "ivmax", "cmax", "rmax",
         "t_chunks", "g_max", "bin_max", "smax", "q_count", "bucket_steps",
+        "use_pallas",
     ),
 )(_query_block_impl)
+
+
+def _pallas_default() -> bool:
+    """Use the Pallas L2 kernel on real TPU devices unless overridden."""
+    env = os.environ.get("PYFASTANI_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def _round_up(n: int, m: int) -> int:
@@ -487,6 +550,7 @@ class ShardedSession:
         smax: int | None = None,
         q_capacity: int = 16,
         frag_capacity: int = 4096,
+        use_pallas: bool | None = None,
     ):
         from jax import shard_map
 
@@ -504,6 +568,9 @@ class ShardedSession:
             sidx, params,
             dict(hmax=hmax, ivmax=ivmax, cmax=cmax, rmax=rmax,
                  t_chunks=t_chunks, bin_max=bin_max, smax=smax),
+        )
+        self._use_pallas = (
+            _pallas_default() if use_pallas is None else bool(use_pallas)
         )
 
         tab_hi = max(l, 1)
@@ -536,6 +603,7 @@ class ShardedSession:
             jax.device_put(sidx.mini_wpos, sh2),
             jax.device_put(sidx.mini_seqid, sh2),
             jax.device_put(sidx.mini_gpos, sh2),
+            jax.device_put(sidx.mini_prev, sh2),
             jax.device_put(sidx.contig_offset, sh2),
             jax.device_put(sidx.seq_to_genome, sh2),
             jax.device_put(sidx.freq_threshold, sh1),
@@ -545,32 +613,63 @@ class ShardedSession:
         )
 
     def _fragments(self, contigs):
+        """Per-contig fragment blocks: list of (n_i, l) uint8 views (no
+        per-fragment Python objects), plus fragment/length totals."""
+        import warnings
+
         from ..ops import codec
 
         params = self.params
         l = params.min_read_length
-        frag_list = []
+        blocks = []
         total_fragments = 0
         total_length = 0
         for contig in contigs:
             data = codec.to_bytes(contig)
             slen = int(data.shape[0])
             if slen < min(params.window_size, params.kmer_size, l):
+                # parity with Mapper._query_draft (ref _fastani.pyx:1062-1070)
+                warnings.warn(
+                    (
+                        "Mapper received a short sequence relative to "
+                        "parameters, mapping will not be computed."
+                    ),
+                    UserWarning,
+                    stacklevel=3,
+                )
                 continue
             n_frag = slen // l
-            for i in range(n_frag):
-                frag_list.append(data[i * l : (i + 1) * l])
+            if n_frag:
+                blocks.append(
+                    np.asarray(data[: n_frag * l]).reshape(n_frag, l)
+                )
             total_fragments += n_frag
             total_length += slen
-        return frag_list, total_fragments, total_length
+        return blocks, total_fragments, total_length
+
+    def _frag_bucket(self, need: int) -> int:
+        """Dispatch capacity for a group of ``need`` fragments.
+
+        Power-of-two buckets up to 1024 then 1024-granular, clamped to
+        ``frag_capacity``: full groups of an all-vs-all batch dispatch at
+        the top capacity while a small batch compiles (and persistently
+        caches) one proportionate program instead of paying the top
+        bucket's padding (the r02 regression: a 2668-fragment batch
+        padded to a monolithic 4096 x 16 program cost +54% device work
+        on every dispatch)."""
+        if need <= 1024:
+            b = max(256, 1 << (max(need, 1) - 1).bit_length())
+        else:
+            b = _round_up(need, 1024)
+        return max(1, min(_round_up(b, self.n_data), self.frag_capacity))
 
     def _get_fn(self):
-        """Compile (or fetch) THE fixed-capacity shard_map program.
+        """Build (once) the jitted shard_map program wrapper.
 
-        Fragment and query-genome axes have fixed capacities
-        (``frag_capacity`` x ``q_capacity``, padded + masked), so every
-        batch shape dispatches the same executable -- no per-batch-shape
-        compile churn."""
+        The fragment axis is *not* baked in: each distinct padded batch
+        shape traces and compiles its own executable under this one jit
+        (bucketed by `_frag_bucket` to bound the variant count, and
+        persisted across processes by the compilation cache)."""
         if self._fn is not None:
             return self._fn
         from jax import shard_map
@@ -584,17 +683,20 @@ class ShardedSession:
 
         bucket_steps = self.sidx.bucket_steps
 
+        use_pallas = self._use_pallas
+
         def block_fn(frags_b, qg_b, epoch_marker, uniq, rstart, rlen, pseq,
-                     pwpos, mhash, mwpos, mseq, mgpos, coff, s2g, thr, hb,
-                     mht, gt, it2d):
+                     pwpos, mhash, mwpos, mseq, mgpos, mprev, coff, s2g, thr,
+                     hb, mht, gt, it2d):
             best_bin, ovf_vec = _query_block_impl(
                 frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
-                mhash[0], mwpos[0], mseq[0], mgpos[0], coff[0], s2g[0], thr[0],
-                hb[0], mht, gt, it2d,
+                mhash[0], mwpos[0], mseq[0], mgpos[0], mprev[0], coff[0],
+                s2g[0], thr[0], hb[0], mht, gt, it2d,
                 params.kmer_size, params.window_size, l,
                 params.alphabet_size != 4, l,
                 b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
                 g_max, bin_max, b["smax"], q_count, bucket_steps,
+                use_pallas,
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
@@ -631,13 +733,16 @@ class ShardedSession:
             mesh=self.mesh,
             in_specs=(
                 P("data", None), P("data"), P(None),
-                si, si, si, si, si, si, si, si, si, si, si, P("shard"), si,
-                P(None), P(None), P(None, None),
+                si, si, si, si, si, si, si, si, si, si, si, si, P("shard"),
+                si, P(None), P(None), P(None, None),
             ),
             out_specs=(
                 P("shard", None, None), P("shard", None, None),
                 P("shard", None),
             ),
+            # pallas_call outputs carry no varying-mesh-axes metadata;
+            # skip the vma check (the out_specs above are authoritative)
+            check_vma=False,
         ))
         self._fn = fn
         return fn
@@ -648,24 +753,27 @@ class ShardedSession:
         (counts, isum) numpy arrays of shape (n_shard, q_capacity, g_max)."""
         params = self.params
         l = params.min_read_length
-        Fcap = self.frag_capacity
+        need = sum(per_genome[gi][1] for gi in group)
+        Fcap = self._frag_bucket(need)
 
         # reuse the staging buffers across calls: fresh page allocation is
         # ~50 MB/s in this sandbox, so zeroing a recycled buffer is much
         # cheaper than allocating a new one per query
         buf = getattr(self, "_frag_buf", None)
-        if buf is None or buf[0].shape[0] != Fcap:
+        if buf is None or buf[0].shape[0] < Fcap:
             self._frag_buf = buf = (
                 np.zeros((Fcap, l + 4), dtype=np.uint8),
                 np.zeros(Fcap, dtype=np.int32),
             )
-        frags, frag_qg = buf
+        frags = buf[0][:Fcap]
+        frag_qg = buf[1][:Fcap]
         row = 0
         for slot, gi in enumerate(group):
-            for f in per_genome[gi][0]:
-                frags[row, :l] = f
-                frag_qg[row] = slot
-                row += 1
+            for block in per_genome[gi][0]:  # one copy per contig
+                n = block.shape[0]
+                frags[row : row + n, :l] = block
+                frag_qg[row : row + n] = slot
+                row += n
         frags[row:] = 0
         frag_qg[row:] = 0
 
@@ -697,8 +805,18 @@ class ShardedSession:
                 raise RuntimeError(
                     f"sharded query budget overflow persists for {blown}"
                 )
+            import warnings
+
+            old = {name: self.budgets[name] for name in blown}
             for name in blown:
                 self.budgets[name] *= 2
+            warnings.warn(
+                "ShardedSession budget overflow; escalating "
+                + ", ".join(f"{n} {old[n]} -> {self.budgets[n]}" for n in blown)
+                + " (recompile)",
+                UserWarning,
+                stacklevel=3,
+            )
             self._fn = None
             self._epoch += 1
         return np.asarray(counts), np.asarray(isum)
@@ -728,30 +846,60 @@ class ShardedSession:
         if not per_genome:
             return []
         # grow the fixed capacity (once, sticky) if a genome demands it
-        need = max(len(p[0]) for p in per_genome)
+        need = max(p[1] for p in per_genome)
         if frag_bucket:
             need = max(need, int(frag_bucket))
         if need > self.frag_capacity:
-            self.frag_capacity = _round_up(need, self.n_data)
+            import warnings
 
-        # pack genomes greedily into fixed-capacity dispatch groups
-        groups, cur, cur_f = [], [], 0
-        for gi, p in enumerate(per_genome):
-            nf = len(p[0])
-            if cur and (
-                len(cur) >= self.q_capacity or cur_f + nf > self.frag_capacity
-            ):
-                groups.append(cur)
-                cur, cur_f = [], 0
-            cur.append(gi)
-            cur_f += nf
-        if cur:
-            groups.append(cur)
+            new_cap = _round_up(need, self.n_data)
+            warnings.warn(
+                f"ShardedSession fragment capacity grown "
+                f"{self.frag_capacity} -> {new_cap} (one-time recompile)",
+                UserWarning,
+                stacklevel=2,
+            )
+            self.frag_capacity = new_cap
+
+        # balanced packing (LPT): spread genomes across the minimum number
+        # of dispatch groups so group sizes -- and therefore the padded
+        # capacity buckets they compile for -- stay uniform (a greedy
+        # fill would leave a small tail group that compiles its own
+        # program variant)
+        total_f = sum(p[1] for p in per_genome)
+        n_groups = max(
+            1,
+            -(-total_f // self.frag_capacity),
+            -(-len(per_genome) // self.q_capacity),
+        )
+        order = sorted(range(len(per_genome)), key=lambda gi: -per_genome[gi][1])
+        while True:
+            bins = [[] for _ in range(n_groups)]
+            loads = [0] * n_groups
+            ok = True
+            for gi in order:
+                nf = per_genome[gi][1]
+                cands = [
+                    b for b in range(n_groups) if len(bins[b]) < self.q_capacity
+                ]
+                if not cands:
+                    ok = False
+                    break
+                b = min(cands, key=lambda b: loads[b])
+                if loads[b] + nf > self.frag_capacity:
+                    ok = False
+                    break
+                bins[b].append(gi)
+                loads[b] += nf
+            if ok:
+                break
+            n_groups += 1  # LPT overflowed a bin; add one and repack
+        groups = [b for b in bins if b]
 
         sidx = self.sidx
         results = [[] for _ in per_genome]
         for group in groups:
-            if not any(per_genome[gi][0] for gi in group):
+            if not any(per_genome[gi][1] for gi in group):
                 continue
             counts, isum = self._dispatch_group(per_genome, group)
             for slot, gi in enumerate(group):

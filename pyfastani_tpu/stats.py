@@ -251,7 +251,9 @@ def _table_cache_load(name: str, s_max: int, k: int, perc_identity: float):
     """
     import os
 
-    root = os.environ.get("PYFASTANI_TPU_CACHE_DIR", "/tmp/jax_cache_pyfastani_tpu")
+    from .utils.jaxconfig import _default_cache_dir
+
+    root = os.environ.get("PYFASTANI_TPU_CACHE_DIR", _default_cache_dir())
     if not root or root == "0":
         return None, None
     path = os.path.join(
