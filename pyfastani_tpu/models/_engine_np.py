@@ -79,6 +79,9 @@ class PostingIndex:
     # binary-search only within a bucket (~log2(M/2^16) steps vs ~21).
     hash_bucket: np.ndarray = None  # i32 (65537,)
     bucket_steps: int = 0
+    # bumped on every live posting edit (set/delete_posting_row) so cached
+    # device copies of the index (Mapper's lazy ShardedSession) invalidate
+    version: int = 0
 
     @property
     def n_minimizers(self) -> int:
@@ -166,6 +169,7 @@ def _rebuild_bucket(index: PostingIndex) -> None:
     index.bucket_steps = (
         max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
     )
+    index.version += 1
 
 
 def set_posting_row(

@@ -380,7 +380,7 @@ class Sketch(_Parameterized):
         mapper._sequences_by_file = list(self._sequences_by_file)
         hashes, seq_ids, wpos = self._store.arrays()
         mapper._index = np_engine.build_index(hashes, seq_ids, wpos)
-        mapper._device_index = None
+        mapper._session = None
         mapper.minimizers = Minimizers(mapper)
         self.clear()
         return mapper
@@ -409,7 +409,7 @@ class Mapper(_Parameterized):
             np.asarray(seq_ids, np.int32),
             np.asarray(wpos, np.int32),
         )
-        self._device_index = None
+        self._session = None
 
     # --- pickling ------------------------------------------------------------
 
@@ -430,7 +430,7 @@ class Mapper(_Parameterized):
         self._names = list(state["names"])
         self._lengths = list(state["lengths"])
         self._sequences_by_file = list(state["sketch"]["sequencesByFileInfo"])
-        self._device_index = None
+        self._session = None
         self.minimizers = Minimizers(self)
         # rebuilds the posting index + frequency histogram, like the
         # reference __setstate__ (``_fastani.pyx:861-865``)
@@ -464,11 +464,42 @@ class Mapper(_Parameterized):
 
     # --- methods -------------------------------------------------------------
 
+    def _device_session(self):
+        """Lazily build (and cache) a single-chip `ShardedSession` so the
+        default ``backend="jax"`` query issues O(1) device dispatches per
+        genome instead of a host loop of per-fragment L1 probes (the
+        reference's one entry point, ``_fastani.pyx:1006-1136``, becomes
+        one fixed-capacity device program).  The cache is invalidated by
+        index rebuilds and live `lookup_index` edits (`PostingIndex.version`).
+        """
+        idx = self._index
+        cached = self._session
+        if (
+            cached is not None
+            and cached[1] is idx
+            and cached[2] == idx.version
+        ):
+            return cached[0]
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedSession
+
+        session = ShardedSession(self, make_mesh(1, 1), q_capacity=1)
+        self._session = (session, idx, idx.version)
+        return session
+
     def _query_draft(self, contigs, threads=0):
         if threads == 0:
             threads = os.cpu_count() or 1
         if threads < 0:
             raise ValueError(f"`threads` must be positive or null, got {threads!r}")
+
+        if (
+            self._backend == "jax"
+            and self._names
+            and self._index.n_minimizers
+            and not os.environ.get("PYFASTANI_TPU_STEPWISE")
+        ):
+            return self._device_session().query(contigs)
 
         param = self._param
         min_len = min(param.window_size, param.kmer_size, param.min_read_length)

@@ -16,10 +16,15 @@ compare-reductions, which is the shape TPUs like:
   chunk: a previous occurrence before the chunk's range satisfies
   ``prev < c0 <= anchor``, so the interval clip at ``prev + 1`` can
   never exclude an in-range anchor;
-* sketch membership is a dense (Rr, 128, Sc) any-equal over the
-  fragment's sorted sketch row;
-* the anchor-stabbing counts are eight (128, Rr, 128) masked sums
-  (one per 128-record interval block).
+* all pairwise work (sketch membership, anchor interval-stabbing) is
+  strictly 2D: per-128 block pairs of (sublane x lane) compares, with
+  interval-side data moved onto sublanes by ONE (128, 128) identity
+  matmul per slab (an MXU transpose).  3D lane-broadcast formulations
+  compile pathologically in Mosaic (minutes per variant); this shape
+  compiles in seconds and is the VPU's native layout;
+* transposed values ride f32 exactly: window positions are < 2^24
+  (checked by the caller), sentinels are powers of two, and the u32
+  hashes travel as two u16 halves.
 
 Semantics are identical to `l2_event_curve` (same best/first/last per
 chunk, validated by tests/test_l2_pallas.py against the XLA path and
@@ -109,6 +114,7 @@ def _kernel(
     rs_s,  # (Rr, 128) i32
     rv_s,  # (Rr, 128) i32
     q_s,  # (8, Sc) u32
+    acc_s,  # (Rr, 128) i32 stabbing-count accumulator
     sem,  # DMA semaphores (5,)
     *,
     Rr: int,
@@ -123,81 +129,127 @@ def _kernel(
     fbase = (frag // 8) * 8
     fsub = frag - fbase
 
-    cp_h = pltpu.make_async_copy(mh_ref.at[pl.ds(row, Rr)], rh_s, sem.at[0])
-    cp_p = pltpu.make_async_copy(mp_ref.at[pl.ds(row, Rr)], rp_s, sem.at[1])
-    cp_s = pltpu.make_async_copy(ms_ref.at[pl.ds(row, Rr)], rs_s, sem.at[2])
-    cp_v = pltpu.make_async_copy(mv_ref.at[pl.ds(row, Rr)], rv_s, sem.at[3])
-    cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[4])
-    cp_h.start()
-    cp_p.start()
-    cp_s.start()
-    cp_v.start()
-    cp_q.start()
-    cp_h.wait()
-    cp_p.wait()
-    cp_s.wait()
-    cp_v.wait()
-    cp_q.wait()
-
     ofs = ofs_ref[i]
     rlen = rlen_ref[i]
     c0 = c0_ref[i]
     clen = clen_ref[i]
     seq = seq_ref[i]
 
-    flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
-        jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
-    )
-    valid = (flat >= ofs) & (flat < ofs + rlen) & (rs_s[...] == seq)
-    rp = jnp.where(valid, rp_s[...], _BIG)
+    # default outputs; overwritten by the live branch below.  Padding
+    # chunk slots (the t_chunks over-provisioning) and empty ranges skip
+    # ALL DMAs and compute -- on sparse workloads most grid steps are
+    # padding, so this halves-or-better the kernel wall time.
+    best_ref[i] = jnp.int32(-1)
+    first_ref[i] = c0
+    last_ref[i] = c0
 
-    # sketch membership: dense any-equal against the fragment's sketch row
-    # (the row's UMAX padding can only match masked-off slots, which are
-    # excluded again by `valid` below)
-    rh = rh_s[...]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
-    # Mosaic has no unsigned reductions: select the row via a signed sum
-    # (exactly one non-zero row, so the sum is a bit-exact copy)
-    q_i32 = jnp.where(
-        row_ids == fsub, q_s[...].astype(jnp.int32), jnp.int32(0)
-    )
-    q_row = jnp.sum(q_i32, axis=0, keepdims=True).astype(jnp.uint32)  # (1, Sc)
-    in_q = jnp.zeros((Rr, 128), jnp.bool_)
-    for t in range(Sc // 128):
-        qb = q_row[:, t * 128 : (t + 1) * 128]  # (1, 128)
-        eq = rh[:, :, None] == qb[None, :, :]  # (Rr, 128, 128)
-        in_q = in_q | jnp.any(eq, axis=2)
+    @pl.when((rlen > 0) & (clen > 0))
+    def _live():
+        cp_h = pltpu.make_async_copy(mh_ref.at[pl.ds(row, Rr)], rh_s, sem.at[0])
+        cp_p = pltpu.make_async_copy(mp_ref.at[pl.ds(row, Rr)], rp_s, sem.at[1])
+        cp_s = pltpu.make_async_copy(ms_ref.at[pl.ds(row, Rr)], rs_s, sem.at[2])
+        cp_v = pltpu.make_async_copy(mv_ref.at[pl.ds(row, Rr)], rv_s, sem.at[3])
+        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[4])
+        cp_h.start()
+        cp_p.start()
+        cp_s.start()
+        cp_v.start()
+        cp_q.start()
+        cp_h.wait()
+        cp_p.wait()
+        cp_s.wait()
+        cp_v.wait()
+        cp_q.wait()
 
-    # presence interval of each in-sketch occurrence: [start_j, p_j],
-    # clipped at the previous same-hash occurrence so per-hash intervals
-    # are disjoint (their union is unchanged)
-    start = jnp.maximum(rp - (cmw - 1), rv_s[...] + 1)
-    cond = in_q & valid
+        flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
+            jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
+        )
+        valid = (flat >= ofs) & (flat < ofs + rlen) & (rs_s[...] == seq)
+        rp = jnp.where(valid, rp_s[...], _BIG)
 
-    # anchors = record positions inside [c0, c0 + clen); count the
-    # intervals stabbing each anchor, one 128-interval block at a time
-    anchor_ok = valid & (rp >= c0) & (rp < c0 + clen)
-    acc = jnp.zeros((Rr, 128), jnp.int32)
-    for jb in range(Rr):
-        st_b = start[jb : jb + 1, :]  # (1, 128) interval starts
-        en_b = rp[jb : jb + 1, :]
-        cd_b = cond[jb : jb + 1, :]
-        stab = (
-            cd_b[None, :, :]
-            & (st_b[None, :, :] <= rp[:, :, None])
-            & (rp[:, :, None] <= en_b[None, :, :])
-        )  # (Rr, 128, 128): [anchor_row, anchor_col, interval]
-        acc = acc + jnp.sum(stab.astype(jnp.int32), axis=2)
+        # --- MXU transposes -------------------------------------------------
+        # Everything pairwise below wants interval data on SUBLANES and
+        # anchor data on LANES.  3D lane-broadcasts compile pathologically
+        # in Mosaic, so instead each (Rr, 128) slab is transposed to
+        # (128, Rr) with ONE identity matmul (T[u, b] = slab[b, u]); the
+        # per-block column T[:, b:b+1] then broadcasts naturally.  All
+        # transposed quantities are exact in f32: positions < 2^24
+        # (enforced by the caller), sentinels are powers of two, and
+        # hashes travel as two u16 halves.
+        ident = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        ).astype(jnp.float32)
+        dn = (((1,), (1,)), ((), ()))
 
-    shared = jnp.where(anchor_ok, acc, -1)
-    best = jnp.max(shared)
-    is_best = shared == best
-    first = jnp.min(jnp.where(is_best, rp, _BIG))
-    last = jnp.max(jnp.where(is_best, rp, -_BIG))
-    none = best < 0
-    best_ref[i] = best
-    first_ref[i] = jnp.where(none, c0, first)
-    last_ref[i] = jnp.where(none, c0, last)
+        def _t(x_f32):  # (Rr, 128) f32 -> (128, Rr)
+            # HIGHEST: full-f32 multi-pass on the MXU.  The default
+            # single-pass bf16 truncates the 17-24 bit integer positions
+            # and silently corrupts every comparison downstream.
+            return jax.lax.dot_general(
+                ident, x_f32, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        rh_i = rh_s[...].astype(jnp.int32)
+        rpT = _t(rp.astype(jnp.float32))
+        rhT_hi = _t(((rh_i >> 16) & 0xFFFF).astype(jnp.float32))
+        rhT_lo = _t((rh_i & 0xFFFF).astype(jnp.float32))
+        rvT = _t(rv_s[...].astype(jnp.float32))
+        validT = _t(valid.astype(jnp.float32))
+
+        # the fragment's sketch row, as u16-half f32 lane vectors
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
+        q_i32 = jnp.where(
+            row_ids == fsub, q_s[...].astype(jnp.int32), jnp.int32(0)
+        )
+        q_row = jnp.sum(q_i32, axis=0, keepdims=True)  # (1, Sc) i32
+        q_hi = ((q_row >> 16) & 0xFFFF).astype(jnp.float32)
+        q_lo = (q_row & 0xFFFF).astype(jnp.float32)
+
+        # anchors = record positions inside [c0, c0 + clen)
+        anchor_ok = valid & (rp >= c0) & (rp < c0 + clen)
+        rp_f = rp.astype(jnp.float32)
+        acc_s[...] = jnp.zeros((Rr, 128), jnp.int32)
+
+        for jb in range(Rr):
+
+            @pl.when(jb * 128 < ofs + rlen)
+            def _blk(jb=jb):
+                # interval block jb as (128, 1) columns
+                pj = rpT[:, jb : jb + 1]
+                # presence interval [start, pos], clipped at the previous
+                # same-hash occurrence so per-hash intervals are disjoint
+                # (their union is unchanged)
+                st = jnp.maximum(pj - (cmw - 1), rvT[:, jb : jb + 1] + 1)
+                # sketch membership via dense any-equal on the u16 halves
+                # (UMAX padding can only match masked-off slots, which
+                # validT excludes)
+                eq = (rhT_hi[:, jb : jb + 1] == q_hi) & (
+                    rhT_lo[:, jb : jb + 1] == q_lo
+                )  # (128, Sc)
+                in_q = jnp.any(eq, axis=1, keepdims=True)  # (128, 1)
+                cd = in_q & (validT[:, jb : jb + 1] > 0.5)
+
+                for ab in range(Rr):
+
+                    @pl.when(ab * 128 < ofs + rlen)
+                    def _ablk(jb=jb, ab=ab, st=st, pj=pj, cd=cd):
+                        pa = rp_f[ab : ab + 1, :]  # (1, 128) anchor pos
+                        stab = cd & (st <= pa) & (pa <= pj)  # (128, 128)
+                        acc_s[ab : ab + 1, :] += jnp.sum(
+                            stab.astype(jnp.int32), axis=0, keepdims=True
+                        )
+
+        shared = jnp.where(anchor_ok, acc_s[...], -1)
+        best = jnp.max(shared)
+        is_best = shared == best
+        first = jnp.min(jnp.where(is_best, rp, _BIG))
+        last = jnp.max(jnp.where(is_best, rp, -_BIG))
+        none = best < 0
+        best_ref[i] = best
+        first_ref[i] = jnp.where(none, c0, first)
+        last_ref[i] = jnp.where(none, c0, last)
 
 
 @functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
@@ -218,6 +270,7 @@ def _l2_pallas_impl(
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((8, Sc), jnp.uint32),
+            pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )

@@ -76,6 +76,48 @@ class ShardedIndex:
     def n_contig_slots(self) -> int:
         return int(self.seq_to_genome.shape[1])
 
+    def save(self, path: str) -> None:
+        """Checkpoint the sharded index to ``path`` (one ``.npz`` file).
+
+        The multi-host recovery story (SURVEY.md §5): a restored index
+        plus the frozen `Parameters` is everything `ShardedSession`
+        needs, so an all-vs-all run can resume without re-sketching or
+        re-partitioning the reference set.  Mirrors the reference's
+        design of pickling flat arrays (``_fastani.pyx:842-865``) --
+        except the sharded layout (partition, padding, global
+        coordinates, prev-occurrence) is already built, so load is pure
+        I/O with no index rebuild.
+        """
+        import json
+
+        arrays = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if isinstance(getattr(self, f.name), np.ndarray)
+        }
+        meta = {
+            "bucket_steps": self.bucket_steps,
+            "n_shards": self.n_shards,
+            "genome_names": self.genome_names,
+        }
+        np.savez_compressed(
+            path,
+            __meta__=np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            ),
+            **arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ShardedIndex":
+        """Restore a `save`d sharded index (see `save`)."""
+        import json
+
+        with np.load(path) as data:
+            meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+            arrays = {k: data[k] for k in data.files if k != "__meta__"}
+        return cls(**arrays, **meta)
+
 
 def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
     """Partition a Mapper's reference set by genome into ``n_shards``
@@ -449,6 +491,25 @@ _query_block = functools.partial(
 )(_query_block_impl)
 
 
+def _put(arr, sharding):
+    """Place a host array on the mesh.
+
+    Single-process: plain `device_put`.  Multi-process (a mesh spanning
+    hosts after `jax.distributed.initialize`): every process holds the
+    full host array (the sharded index build and query staging are
+    deterministic, SPMD-style), so each process materializes only its
+    addressable shards via `make_array_from_callback`.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def _pallas_default() -> bool:
     """Use the Pallas L2 kernel on real TPU devices unless overridden."""
     env = os.environ.get("PYFASTANI_TPU_PALLAS")
@@ -460,6 +521,19 @@ def _pallas_default() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False
+
+
+def _pallas_ok(sidx: "ShardedIndex", budgets: dict) -> bool:
+    """Kernel applicability: the 2D block-pair kernel unrolls Rr^2 block
+    pairs (keep Rr <= 16) and transposes positions through exact f32
+    (window positions must stay below 2^24; contigs longer than ~16.7 Mbp
+    fall back to the XLA event-scan)."""
+    R = _round_up(budgets["rmax"] + 128, 1024)
+    if R // 128 > 16:
+        return False
+    mw = sidx.mini_wpos
+    real = mw < _BIG
+    return not bool(np.any(mw[real] >= (1 << 24)))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -500,7 +574,10 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
             g = gpos[:m_real]
             hi = np.searchsorted(g, g + window, side="left")
             worst = max(worst, int((hi - np.arange(m_real)).max()))
-        rmax = min(_round_up(worst + 8, 128), 8192)
+        # coarse 512 quantization: near-identical workloads (e.g. two
+        # synthetic batches of the same genome family) land on the same
+        # compiled program / persistent-cache entry
+        rmax = min(_round_up(worst + 8, 512), 8192)
 
     hmax = overrides.get("hmax")
     if not hmax:
@@ -520,9 +597,21 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         hmax = _round_up(max(4.0 * smax * mean_row, max_row + smax, 1024), 512)
         hmax = min(hmax, 16384)
 
+    # ivmax: merged L1 candidate intervals per fragment.  Candidates are
+    # l-windows holding >= m seed hits; after merging, a fragment sees at
+    # most a few per homologous locus, and loci scale with the number of
+    # genomes a shard holds -- so size from the densest shard's genome
+    # count (2 intervals/genome + slack), like the other budgets.
+    ivmax = overrides.get("ivmax")
+    if not ivmax:
+        g_per_shard = max(
+            (len(names) for names in sidx.genome_names), default=1
+        )
+        ivmax = min(max(_round_up(2 * g_per_shard + 16, 16), 32), 256)
+
     return dict(
         hmax=int(hmax),
-        ivmax=int(overrides.get("ivmax") or 32),
+        ivmax=int(ivmax),
         cmax=int(cmax),
         rmax=int(rmax),
         t_chunks=int(overrides.get("t_chunks") or 4),
@@ -551,19 +640,30 @@ class ShardedSession:
         q_capacity: int = 16,
         frag_capacity: int = 4096,
         use_pallas: bool | None = None,
+        index: "ShardedIndex | None" = None,
+        params=None,
     ):
         from jax import shard_map
 
         self.mapper = mapper
         self.mesh = mesh
-        self.params = mapper._param
+        self.params = params if params is not None else mapper._param
         params = self.params
         l = params.min_read_length
         self.n_shard = mesh.shape["shard"]
         self.n_data = mesh.shape["data"]
         self.q_capacity = max(1, int(q_capacity))
         self.frag_capacity = _round_up(max(int(frag_capacity), self.n_data), self.n_data)
-        self.sidx = sidx = build_sharded_index(mapper, self.n_shard)
+        if index is not None:
+            if index.n_shards != self.n_shard:
+                raise ValueError(
+                    f"restored index has {index.n_shards} shards, "
+                    f"mesh has {self.n_shard}"
+                )
+            sidx = index
+        else:
+            sidx = build_sharded_index(mapper, self.n_shard)
+        self.sidx = sidx
         self.budgets = _presize_budgets(
             sidx, params,
             dict(hmax=hmax, ivmax=ivmax, cmax=cmax, rmax=rmax,
@@ -594,23 +694,46 @@ class ShardedSession:
         sh1 = NamedSharding(mesh, P("shard"))
         rep = NamedSharding(mesh, P())
         self._index_args = (
-            jax.device_put(sidx.uniq_hash, sh2),
-            jax.device_put(sidx.row_start, sh2),
-            jax.device_put(sidx.row_len, sh2),
-            jax.device_put(sidx.post_seqid, sh2),
-            jax.device_put(sidx.post_wpos, sh2),
-            jax.device_put(sidx.mini_hash, sh2),
-            jax.device_put(sidx.mini_wpos, sh2),
-            jax.device_put(sidx.mini_seqid, sh2),
-            jax.device_put(sidx.mini_gpos, sh2),
-            jax.device_put(sidx.mini_prev, sh2),
-            jax.device_put(sidx.contig_offset, sh2),
-            jax.device_put(sidx.seq_to_genome, sh2),
-            jax.device_put(sidx.freq_threshold, sh1),
-            jax.device_put(sidx.hash_bucket, sh2),
-            jax.device_put(np.asarray(mh_tab), rep),
-            jax.device_put(np.asarray(gate_tab), rep),
+            _put(sidx.uniq_hash, sh2),
+            _put(sidx.row_start, sh2),
+            _put(sidx.row_len, sh2),
+            _put(sidx.post_seqid, sh2),
+            _put(sidx.post_wpos, sh2),
+            _put(sidx.mini_hash, sh2),
+            _put(sidx.mini_wpos, sh2),
+            _put(sidx.mini_seqid, sh2),
+            _put(sidx.mini_gpos, sh2),
+            _put(sidx.mini_prev, sh2),
+            _put(sidx.contig_offset, sh2),
+            _put(sidx.seq_to_genome, sh2),
+            _put(sidx.freq_threshold, sh1),
+            _put(sidx.hash_bucket, sh2),
+            _put(np.asarray(mh_tab), rep),
+            _put(np.asarray(gate_tab), rep),
         )
+        # observability (SURVEY.md §5 metrics gap): cumulative session
+        # counters, exposed as a plain dict
+        self.stats = {
+            "dispatches": 0,
+            "genomes_queried": 0,
+            "fragments_dispatched": 0,
+            "fragments_padded": 0,
+            "budget_escalations": 0,
+            "capacity_growths": 0,
+            "compiled_variants": 0,
+        }
+
+    @classmethod
+    def from_index(cls, index: ShardedIndex, params, mesh: Mesh, **kwargs):
+        """Build a session from a restored `ShardedIndex` checkpoint.
+
+        ``params`` is the frozen `Parameters` the index was built under
+        (`Mapper.parameters` equivalent).  This is the multi-host resume
+        path: every process loads the checkpoint and constructs the
+        session against its (possibly process-spanning) mesh without a
+        `Mapper` or a re-partition.
+        """
+        return cls(None, mesh, index=index, params=params, **kwargs)
 
     def _fragments(self, contigs):
         """Per-contig fragment blocks: list of (n_i, l) uint8 views (no
@@ -672,6 +795,7 @@ class ShardedSession:
         persisted across processes by the compilation cache)."""
         if self._fn is not None:
             return self._fn
+        self.stats["compiled_variants"] += 1
         from jax import shard_map
 
         params = self.params
@@ -683,7 +807,7 @@ class ShardedSession:
 
         bucket_steps = self.sidx.bucket_steps
 
-        use_pallas = self._use_pallas
+        use_pallas = self._use_pallas and _pallas_ok(self.sidx, b)
 
         def block_fn(frags_b, qg_b, epoch_marker, uniq, rstart, rlen, pseq,
                      pwpos, mhash, mwpos, mseq, mgpos, mprev, coff, s2g, thr,
@@ -785,15 +909,23 @@ class ShardedSession:
             if self._ident_tab is None or self._ident_tab.shape[0] != smax + 1:
                 from jax.sharding import NamedSharding
 
-                self._ident_tab = jax.device_put(
+                self._ident_tab = _put(
                     stats.identity_table(smax, self.params.kmer_size),
                     NamedSharding(self.mesh, P()),
                 )
             fn = self._get_fn()
+            from jax.sharding import NamedSharding
+
+            self.stats["dispatches"] += 1
+            self.stats["fragments_dispatched"] += row
+            self.stats["fragments_padded"] += Fcap - row
             counts, isum, ovf = fn(
-                jnp.asarray(frags),
-                jnp.asarray(frag_qg),
-                jnp.zeros(self._epoch + 1, jnp.int32),
+                _put(frags, NamedSharding(self.mesh, P("data", None))),
+                _put(frag_qg, NamedSharding(self.mesh, P("data"))),
+                _put(
+                    np.zeros(self._epoch + 1, np.int32),
+                    NamedSharding(self.mesh, P()),
+                ),
                 *self._index_args,
                 self._ident_tab,
             )
@@ -810,6 +942,7 @@ class ShardedSession:
             old = {name: self.budgets[name] for name in blown}
             for name in blown:
                 self.budgets[name] *= 2
+            self.stats["budget_escalations"] += 1
             warnings.warn(
                 "ShardedSession budget overflow; escalating "
                 + ", ".join(f"{n} {old[n]} -> {self.budgets[n]}" for n in blown)
@@ -845,6 +978,7 @@ class ShardedSession:
         per_genome = [self._fragments(contigs) for contigs in genomes]
         if not per_genome:
             return []
+        self.stats["genomes_queried"] += len(per_genome)
         # grow the fixed capacity (once, sticky) if a genome demands it
         need = max(p[1] for p in per_genome)
         if frag_bucket:
@@ -860,6 +994,7 @@ class ShardedSession:
                 stacklevel=2,
             )
             self.frag_capacity = new_cap
+            self.stats["capacity_growths"] += 1
 
         # balanced packing (LPT): spread genomes across the minimum number
         # of dispatch groups so group sizes -- and therefore the padded

@@ -139,3 +139,43 @@ def test_determinism_across_repeats_and_meshes():
         ]
         for a, b in zip(other, first):
             assert abs(a.identity - b.identity) < 1e-4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_checkpoint_restore_matches_host(tmp_path):
+    """ShardedIndex.save/load + ShardedSession.from_index: a session
+    restored from a checkpoint (no Mapper, no re-partition) matches the
+    host engine -- the multi-host resume path (SURVEY.md §5)."""
+    from pyfastani_tpu.parallel.sharded import (
+        ShardedIndex,
+        ShardedSession,
+        build_sharded_index,
+    )
+
+    rng = np.random.default_rng(41)
+    refs = [_rand_genome(rng, n) for n in (30_000, 24_000, 27_000, 21_000)]
+    query = _mutate(rng, refs[2], 0.04)
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+    expected = mapper.query_genome(query)
+
+    path = str(tmp_path / "index.npz")
+    build_sharded_index(mapper, 4).save(path)
+    restored = ShardedIndex.load(path)
+    assert restored.n_shards == 4
+    assert restored.genome_names == build_sharded_index(mapper, 4).genome_names
+
+    sess = ShardedSession.from_index(
+        restored, mapper._param, make_mesh(2, 4),
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64,
+        smax=256,
+    )
+    got = sess.query([query])
+    assert [(h.name, h.matches, h.fragments) for h in got] == [
+        (h.name, h.matches, h.fragments) for h in expected
+    ]
+    for a, b in zip(got, expected):
+        assert abs(a.identity - b.identity) < 1e-3
