@@ -47,16 +47,17 @@ def main():
     sidx = session.sidx
 
     per_genome = [session._fragments([q]) for q in queries]
-    F = sum(len(p[0]) for p in per_genome)
-    Fb = -(-max(-(-F // 128) * 128, 1) // 1) * 1
+    F = sum(p[1] for p in per_genome)
+    Fb = max(-(-F // 128) * 128, 128)
     frags = np.zeros((Fb, l + 4), dtype=np.uint8)
     frag_qg = np.zeros(Fb, dtype=np.int32)
     row = 0
-    for qg, (frag_list, _, _) in enumerate(per_genome):
-        for f in frag_list:
-            frags[row, :l] = f
-            frag_qg[row] = qg
-            row += 1
+    for qg, (blocks, _, _) in enumerate(per_genome):
+        for block in blocks:  # one (n, l) array per contig
+            n = block.shape[0]
+            frags[row : row + n, :l] = block
+            frag_qg[row : row + n] = qg
+            row += n
 
     k, w = params.kmer_size, params.window_size
     smax = b["smax"]

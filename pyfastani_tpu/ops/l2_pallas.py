@@ -252,12 +252,40 @@ def _kernel(
         last_ref[i] = jnp.where(none, c0, last)
 
 
+# chunks per pallas_call: the (N,) scalar-prefetch + output arrays are
+# SMEM-resident for the whole grid, and SMEM is ~1 MB -- an unsegmented
+# 12k-chunk call OOMs it.  2048 chunks x 10 arrays x 4 B (double
+# buffered) stays well under the budget.
+_NSEG = 2048
+
+
 @functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
 def _l2_pallas_impl(
     row, ofs, rlen, frag, c0, clen, seq, mh2d, mp2d, ms2d, mv2d, q_pad,
     Rr: int, Sc: int, cmw: int, interpret: bool = False,
 ):
     N = row.shape[0]
+    if N > _NSEG:
+        n_seg = -(-N // _NSEG)
+        pad = n_seg * _NSEG - N
+        scal = [row, ofs, rlen, frag, c0, clen, seq]
+        # padding slots have rlen == 0: the kernel skips their DMAs and
+        # compute and writes the defaults
+        scal = [
+            jnp.pad(a, (0, pad)).reshape(n_seg, _NSEG) for a in scal
+        ]
+
+        def seg_fn(args):
+            return _l2_pallas_impl.__wrapped__(
+                *args, mh2d, mp2d, ms2d, mv2d, q_pad, Rr, Sc, cmw, interpret
+            )
+
+        best, first, last = jax.lax.map(seg_fn, tuple(scal))
+        return (
+            best.reshape(-1)[:N],
+            first.reshape(-1)[:N],
+            last.reshape(-1)[:N],
+        )
     kern = functools.partial(_kernel, Rr=Rr, Sc=Sc, cmw=cmw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

@@ -111,3 +111,43 @@ def test_pallas_empty_and_edge_chunks():
     np.testing.assert_array_equal(b0, np.asarray(b1))
     np.testing.assert_array_equal(f0, np.asarray(f1))
     np.testing.assert_array_equal(l0, np.asarray(l1))
+
+
+def test_pallas_segmented_large_n():
+    """N > _NSEG exercises the SMEM-bounded segmentation (lax.map over
+    pallas_call segments); results must equal the unsegmented scan."""
+    rng = np.random.default_rng(7)
+    M = 20000
+    mh, seqid, wpos = _mini_store(rng, M)
+    prev = compute_mini_prev(mh, seqid, wpos)
+    F, S = 8, 128
+    q = np.sort(rng.choice(mh, size=(F, S)), axis=1).astype(np.uint32)
+    s_sizes = np.full(F, S, np.int32)
+    cmw = 2985
+
+    from pyfastani_tpu.ops import l2_pallas as LP
+
+    N = LP._NSEG * 2 + 100
+    lo = rng.integers(0, M - 900, size=N).astype(np.int32)
+    rlen = rng.integers(0, 400, size=N).astype(np.int32)
+    frag = rng.integers(0, F, size=N).astype(np.int32)
+    c0 = wpos[lo]
+    clen = rng.integers(1, 1024, size=N).astype(np.int32)
+    cseq = seqid[lo]
+    hi = np.minimum(lo + rlen, M)
+    for i in range(N):
+        run = np.flatnonzero(seqid[lo[i] : hi[i]] != cseq[i])
+        if run.size:
+            rlen[i] = run[0]
+
+    chunks = np.stack([frag, c0, clen, lo, rlen], axis=1).astype(np.int32)
+    b0, f0, l0 = l2_chunk_scan(q, s_sizes, mh, wpos, chunks, cmw, 1024)
+    b1, f1, l1 = l2_chunks_pallas(
+        jnp.asarray(q), mh, wpos, seqid, prev,
+        jnp.asarray(frag), jnp.asarray(c0), jnp.asarray(clen),
+        jnp.asarray(lo), jnp.asarray(rlen), jnp.asarray(cseq),
+        cmw, 1024, interpret=True,
+    )
+    np.testing.assert_array_equal(b0, np.asarray(b1))
+    np.testing.assert_array_equal(f0, np.asarray(f1))
+    np.testing.assert_array_equal(l0, np.asarray(l1))
