@@ -597,6 +597,20 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         hmax = _round_up(max(4.0 * smax * mean_row, max_row + smax, 1024), 512)
         hmax = min(hmax, 16384)
 
+    # bin_max: reference-position bins per contig.  Bins index
+    # mean_pos // l with mean_pos < contig span; spans are recorded in
+    # contig_offset (max wpos + l + 8), so the exact per-shard maximum is
+    # known at build time.  Under-provisioning would silently merge tail
+    # bins, so derive with margin rather than flag-and-escalate.
+    bin_max = overrides.get("bin_max")
+    if not bin_max:
+        max_span = 1
+        for sh in range(sidx.n_shards):
+            d = np.diff(sidx.contig_offset[sh].astype(np.int64))
+            if d.size:
+                max_span = max(max_span, int(d.max()))
+        bin_max = min(max(_round_up(max_span // l + 2, 64), 64), 4096)
+
     # ivmax: merged L1 candidate intervals per fragment.  Candidates are
     # l-windows holding >= m seed hits; after merging, a fragment sees at
     # most a few per homologous locus, and loci scale with the number of
@@ -615,7 +629,7 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         cmax=int(cmax),
         rmax=int(rmax),
         t_chunks=int(overrides.get("t_chunks") or 4),
-        bin_max=int(overrides.get("bin_max") or 2048),
+        bin_max=int(bin_max),
         smax=int(smax),
     )
 
