@@ -34,8 +34,14 @@ BASELINE_MBP_S = 4.3
 N_REFS = int(os.environ.get("BENCH_REFS", "10"))
 REF_LEN = int(os.environ.get("BENCH_REF_LEN", "2000000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4"))
-AVA_GENOMES = int(os.environ.get("BENCH_AVA_GENOMES", "32"))
-AVA_LEN = int(os.environ.get("BENCH_AVA_LEN", "2000000"))
+AVA_GENOMES = int(os.environ.get("BENCH_AVA_GENOMES", "256"))
+# per-family genome length cycles through a 1-5 Mbp mix (BASELINE.json
+# config 4 names a ~500-genome bacterial panel; sizes are heterogeneous)
+AVA_LENGTHS = tuple(
+    int(x) for x in os.environ.get(
+        "BENCH_AVA_LENGTHS", "1000000,2000000,3000000,5000000"
+    ).split(",")
+)
 AVA_FAMILY = 4  # genomes per mutation family
 MUT_RATE = 0.03
 
@@ -59,12 +65,13 @@ def _genomes():
 
 
 def _ava_genomes():
-    """N genomes in families of AVA_FAMILY mutants of a shared ancestor."""
+    """N genomes in families of AVA_FAMILY mutants of a shared ancestor,
+    with family sizes cycling through the 1-5 Mbp mix."""
     rng = np.random.default_rng(7)
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
     out = []
     for fam in range(-(-AVA_GENOMES // AVA_FAMILY)):
-        base = rng.choice(alphabet, size=AVA_LEN)
+        base = rng.choice(alphabet, size=AVA_LENGTHS[fam % len(AVA_LENGTHS)])
         for _ in range(min(AVA_FAMILY, AVA_GENOMES - len(out))):
             out.append(_mutate(rng, base, MUT_RATE).tobytes())
     return out

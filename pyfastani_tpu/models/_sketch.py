@@ -493,12 +493,7 @@ class Mapper(_Parameterized):
         if threads < 0:
             raise ValueError(f"`threads` must be positive or null, got {threads!r}")
 
-        if (
-            self._backend == "jax"
-            and self._names
-            and self._index.n_minimizers
-            and not os.environ.get("PYFASTANI_TPU_STEPWISE")
-        ):
+        if self._backend == "jax" and self._names and self._index.n_minimizers:
             return self._device_session().query(contigs)
 
         param = self._param
@@ -518,16 +513,9 @@ class Mapper(_Parameterized):
                 continue
             contig_arrays.append(data)
 
-        if self._backend == "jax":
-            from . import _engine_jax
-
-            mappings, total_fragments, total_length = _engine_jax.query_contigs(
-                self, contig_arrays
-            )
-        else:
-            mappings, total_fragments, total_length = np_engine.query_contigs_np(
-                contig_arrays, self._index, param
-            )
+        mappings, total_fragments, total_length = np_engine.query_contigs_np(
+            contig_arrays, self._index, param
+        )
 
         results = np_engine.compute_cgi(
             mappings,

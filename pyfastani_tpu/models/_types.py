@@ -276,7 +276,7 @@ class MinimizerIndex:
             np.asarray([p.sequence_id for p in positions], dtype=np.int32),
             np.asarray([p.window_position for p in positions], dtype=np.int32),
         )
-        self.owner._device_index = None
+        self.owner._session = None
 
     def __delitem__(self, item):
         if self._map is not None:
@@ -289,7 +289,7 @@ class MinimizerIndex:
 
         if not np_engine.delete_posting_row(self._index(), int(item)):
             raise KeyError(item)
-        self.owner._device_index = None
+        self.owner._session = None
 
     def __reduce__(self):
         return (MinimizerIndex, (), None, None, self.items())

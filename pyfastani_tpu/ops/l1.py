@@ -4,15 +4,22 @@ The host engines run this stage in NumPy (it is tiny per genome); the
 multi-chip pipeline needs it on device so the whole query step is one
 jitted program.  All stages are static-shape with explicit budgets:
 
-* ``hmax``: seed hits per fragment (overflow reported, not silently lost);
+* ``hmax``: seed hits per fragment **on average** -- the hit buffer is a
+  single flat axis of ``F * hmax`` slots shared by the whole fragment
+  batch, so one fragment pulling a long posting row borrows capacity
+  from the others instead of forcing every row to the worst case.  (The
+  previous formulation padded a dense ``(F, hmax)`` buffer to the worst
+  single fragment; with typical fragments carrying a few hundred seed
+  hits that made the sort/scan >95% padding work -- the dominant stage
+  cost on TPU.)  Overflow of the *total* is reported, never silent;
 * ``ivmax``: merged candidate intervals per fragment.
 
 Semantics mirror ``Mapper._do_l1_mappings`` + [reconstructed]
 ``computeL1CandidateRegions`` (``_fastani.pyx:885-954``,
 ``compute_map.pxd:41-44``): probe the CSR index per unique sketch hash,
 skip rows at/above the frequency threshold, sort seed hits by
-(seqId, wpos), find windows of ``m`` consecutive hits spanning < l, and
-merge overlapping candidates.
+(fragment, seqId, wpos), find windows of ``m`` consecutive hits spanning
+< l, and merge overlapping candidates.
 """
 
 from __future__ import annotations
@@ -56,10 +63,12 @@ def l1_candidates_device(
 ):
     """Returns (iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv):
     (F, ivmax) x3, (F, ivmax) bool, and two scalar bools flagging which
-    static budget (hmax / ivmax) overflowed."""
+    static budget (hmax / ivmax) overflowed.  Hit capacity is
+    ``F * hmax`` *in total* (see module docstring)."""
     F, S = q_sorted.shape
     M = post_seqid.shape[0]
     U = uniq_hash.shape[0]
+    T = F * hmax  # flat hit capacity shared across the fragment batch
 
     # --- probe the CSR index ------------------------------------------------
     # bucketed binary search: the 2^16-entry prefix narrows each probe to
@@ -86,45 +95,46 @@ def l1_candidates_device(
         found & (row_len[rows_c] < freq_threshold), row_len[rows_c], 0
     ).astype(jnp.int32)  # (F, S)
 
-    # --- gather posting rows into a padded per-fragment hit buffer ----------
-    off_end = jnp.cumsum(lens, axis=1)  # (F, S) exclusive-end offsets
-    total = off_end[:, -1]  # (F,)
-    ovf_hits = jnp.any(total > hmax)
+    # --- gather posting rows into ONE flat hit buffer -----------------------
+    lens_flat = lens.reshape(-1)  # (F*S,) probe order == fragment order
+    off_end = jnp.cumsum(lens_flat)
+    total = off_end[-1]
+    ovf_hits = total > T
+    off_begin = off_end - lens_flat
 
-    h_idx = jnp.arange(hmax, dtype=jnp.int32)[None, :]  # (1, H)
-    # segment owning output slot h: first seg with off_end > h.  Built by
-    # scattering each non-empty segment's id at its begin offset and
-    # cummax-filling forward -- much cheaper on TPU than a binary search
-    # per output slot.
-    off_begin = off_end - lens  # (F, S)
-    s_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (F, S))
-    scat_col = jnp.where(lens > 0, jnp.minimum(off_begin, hmax), hmax)
-    seg = jnp.zeros((F, hmax + 1), jnp.int32)
-    seg = seg.at[jnp.arange(F, dtype=jnp.int32)[:, None], scat_col].max(s_ids)
-    seg = jax.lax.cummax(seg[:, :hmax], axis=1)  # (F, H)
-    seg_c = jnp.clip(seg, 0, S - 1)
-    seg_begin = off_end[jnp.arange(F)[:, None], seg_c] - lens[
-        jnp.arange(F)[:, None], seg_c
-    ]
-    src = row_start[rows_c[jnp.arange(F)[:, None], seg_c]] + (h_idx - seg_begin)
-    valid_h = h_idx < jnp.minimum(total, hmax)[:, None]
+    # probe owning output slot t: scatter each non-empty probe's id at its
+    # begin offset and cummax-fill forward -- much cheaper on TPU than a
+    # binary search per output slot.
+    probe_ids = jnp.arange(F * S, dtype=jnp.int32)
+    scat = jnp.where(lens_flat > 0, jnp.minimum(off_begin, T), T)
+    seg = jnp.zeros((T + 1,), jnp.int32).at[scat].max(probe_ids)
+    seg = jax.lax.cummax(seg[:T])  # (T,)
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    src = row_start[rows_c.reshape(-1)[seg]] + (t_idx - off_begin[seg])
+    valid_t = t_idx < jnp.minimum(total, T)
     src_c = jnp.clip(src, 0, max(M - 1, 0))
-    hit_seq = jnp.where(valid_h, post_seqid[src_c], _BIG)
-    hit_pos = jnp.where(valid_h, post_wpos[src_c], _BIG)
+    hit_frag = jnp.where(valid_t, seg // S, F)
+    hit_seq = jnp.where(valid_t, post_seqid[src_c], _BIG)
+    hit_pos = jnp.where(valid_t, post_wpos[src_c], _BIG)
 
-    # --- sort hits by (seqId, wpos) -----------------------------------------
-    hit_seq, hit_pos = jax.lax.sort((hit_seq, hit_pos), num_keys=2)
+    # --- sort hits by (fragment, seqId, wpos) -------------------------------
+    hit_frag, hit_seq, hit_pos = jax.lax.sort(
+        (hit_frag, hit_seq, hit_pos), num_keys=3
+    )
 
     # --- m-consecutive-hit candidate windows --------------------------------
     m = min_hits_table[jnp.clip(s_sizes, 0, min_hits_table.shape[0] - 1)]
     m = jnp.maximum(m, 1)  # (F,)
-    j_idx = jnp.arange(hmax, dtype=jnp.int32)[None, :]
-    j2 = jnp.clip(j_idx + m[:, None] - 1, 0, hmax - 1)
-    seq_j2 = jnp.take_along_axis(hit_seq, j2, axis=1)
-    pos_j2 = jnp.take_along_axis(hit_pos, j2, axis=1)
+    m_t = m[jnp.clip(hit_frag, 0, F - 1)]
+    j2 = jnp.clip(t_idx + m_t - 1, 0, T - 1)
+    frag_j2 = hit_frag[j2]
+    seq_j2 = hit_seq[j2]
+    pos_j2 = hit_pos[j2]
     cand_ok = (
-        (j_idx + m[:, None] - 1 < hmax)
+        (hit_frag < F)
         & (hit_seq < _BIG)
+        & (t_idx + m_t - 1 < T)
+        & (frag_j2 == hit_frag)
         & (seq_j2 == hit_seq)
         & (pos_j2 - hit_pos < l)
     )
@@ -132,56 +142,58 @@ def l1_candidates_device(
     cand_end = hit_pos
 
     # --- merge overlapping candidates (in place) ----------------------------
-    # candidates are already in (seq, pos) order; the previous *valid*
-    # candidate is found with an exclusive cummax scan instead of an
-    # argsort compaction (argsort + gathers dominated this stage on TPU)
-    # last-valid-candidate (seq, end) via a log-doubling masked-lag scan
-    # (shift+select passes; cheaper than gathers on this platform)
-    pv = cand_ok
-    ps, pe = hit_seq, hit_pos
-    step = 1
-    while step < hmax:
-        sv = jnp.concatenate([jnp.zeros((F, step), bool), pv[:, :-step]], axis=1)
-        ss = jnp.concatenate([jnp.full((F, step), -1, jnp.int32), ps[:, :-step]], axis=1)
-        se = jnp.concatenate([jnp.full((F, step), -_BIG, jnp.int32), pe[:, :-step]], axis=1)
-        keep = pv
-        ps = jnp.where(keep, ps, ss)
-        pe = jnp.where(keep, pe, se)
-        pv = keep | sv
-        step *= 2
-    prev_v = jnp.concatenate([jnp.zeros((F, 1), bool), pv[:, :-1]], axis=1)
-    prev_seq = jnp.concatenate([jnp.full((F, 1), -1, jnp.int32), ps[:, :-1]], axis=1)
-    prev_end = jnp.concatenate([jnp.full((F, 1), -_BIG, jnp.int32), pe[:, :-1]], axis=1)
-    boundary = cand_ok & (
-        (~prev_v) | (hit_seq != prev_seq) | (cand_start > prev_end)
+    # candidates are in (frag, seq, pos) order; the previous *valid*
+    # candidate is one exclusive cummax of marked indices + one gather
+    cand_idx = jnp.where(cand_ok, t_idx, -1)
+    prev_idx = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(cand_idx)[:-1]]
     )
-    iv_id = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1  # (F, H)
-    iv_id = jnp.where(cand_ok, iv_id, -1)
-    n_iv = jnp.max(iv_id, axis=1) + 1  # (F,)
+    p_c = jnp.clip(prev_idx, 0, T - 1)
+    boundary = cand_ok & (
+        (prev_idx < 0)
+        | (hit_frag[p_c] != hit_frag)
+        | (hit_seq[p_c] != hit_seq)
+        | (cand_start > hit_pos[p_c])
+    )
+    b_cum = jnp.cumsum(boundary.astype(jnp.int32))
+    b_excl = b_cum - boundary
+    # boundaries before each fragment's first hit slot
+    frag_start = off_begin.reshape(F, S)[:, 0]
+    base = b_excl[jnp.clip(frag_start, 0, T - 1)]  # (F,)
+    iv_local = jnp.where(
+        cand_ok, (b_cum - 1) - base[jnp.clip(hit_frag, 0, F - 1)], -1
+    )
+    n_iv = (
+        jax.ops.segment_max(
+            iv_local, jnp.where(cand_ok, hit_frag, F), num_segments=F + 1
+        )[:F]
+        + 1
+    )
     ovf_iv = jnp.any(n_iv > ivmax)
 
     # segment-reduce candidate members into interval slots
     flat_seg = jnp.where(
-        iv_id >= 0,
-        jnp.arange(F, dtype=jnp.int32)[:, None] * ivmax + jnp.clip(iv_id, 0, ivmax - 1),
+        iv_local >= 0,
+        hit_frag * ivmax + jnp.clip(iv_local, 0, ivmax - 1),
         F * ivmax,
-    ).reshape(-1)
+    )
     iv_seq = jax.ops.segment_min(
-        jnp.where(cand_ok, hit_seq, _BIG).reshape(-1),
+        jnp.where(cand_ok, hit_seq, _BIG),
         flat_seg,
         num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_c0 = jax.ops.segment_min(
-        jnp.where(cand_ok, cand_start, _BIG).reshape(-1),
+        jnp.where(cand_ok, cand_start, _BIG),
         flat_seg,
         num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_c1 = jax.ops.segment_max(
-        jnp.where(cand_ok, cand_end, -_BIG).reshape(-1),
+        jnp.where(cand_ok, cand_end, -_BIG),
         flat_seg,
         num_segments=F * ivmax + 1,
     )[: F * ivmax].reshape(F, ivmax)
     iv_valid = (
-        jnp.arange(ivmax, dtype=jnp.int32)[None, :] < jnp.minimum(n_iv, ivmax)[:, None]
+        jnp.arange(ivmax, dtype=jnp.int32)[None, :]
+        < jnp.minimum(n_iv, ivmax)[:, None]
     )
     return iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv

@@ -71,6 +71,11 @@ class ShardedIndex:
     genome_names: list  # list per shard of genome names
     genome_lengths: np.ndarray  # (n, G) i64
     n_shards: int
+    # Parameters state the index was built under (``Parameters.to_state``);
+    # carried through checkpoints so a restore can validate/recover the
+    # sketch parameters like the reference pickle does (_fastani.pyx
+    # __getstate__ keeps params with the sketch state)
+    params_state: dict | None = None
 
     @property
     def n_contig_slots(self) -> int:
@@ -99,7 +104,10 @@ class ShardedIndex:
             "bucket_steps": self.bucket_steps,
             "n_shards": self.n_shards,
             "genome_names": self.genome_names,
+            "params_state": self.params_state,
         }
+        if not path.endswith(".npz"):
+            path += ".npz"  # savez appends it; keep load() symmetric
         np.savez_compressed(
             path,
             __meta__=np.frombuffer(
@@ -113,6 +121,8 @@ class ShardedIndex:
         """Restore a `save`d sharded index (see `save`)."""
         import json
 
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path += ".npz"
         with np.load(path) as data:
             meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
             arrays = {k: data[k] for k in data.files if k != "__meta__"}
@@ -235,6 +245,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
             [np.asarray(s[3], np.int64) for s in shards], 0, np.int64
         ),
         n_shards=n_shards,
+        params_state=mapper._param.to_state(),
     )
 
 
@@ -290,7 +301,7 @@ def _l2_interval_scan(
     if use_pallas:
         from ..ops.l2_pallas import _l2_pallas_impl, _pad_rows_2d
 
-        R = _round_up(rmax + 128, 1024)
+        R = _l2_kernel_rows(rmax)
         Rr = R // 128
         lo = jnp.searchsorted(mini_gpos, ch_base + ch_c0).astype(jnp.int32)
         hi = jnp.searchsorted(
@@ -523,12 +534,19 @@ def _pallas_default() -> bool:
         return False
 
 
+def _l2_kernel_rows(rmax: int) -> int:
+    """Row capacity R of the Pallas L2 kernel for a given ``rmax`` budget
+    (the single source of truth for both the kernel call and the
+    `_pallas_ok` applicability guard)."""
+    return _round_up(rmax + 128, 1024)
+
+
 def _pallas_ok(sidx: "ShardedIndex", budgets: dict) -> bool:
     """Kernel applicability: the 2D block-pair kernel unrolls Rr^2 block
     pairs (keep Rr <= 16) and transposes positions through exact f32
     (window positions must stay below 2^24; contigs longer than ~16.7 Mbp
     fall back to the XLA event-scan)."""
-    R = _round_up(budgets["rmax"] + 128, 1024)
+    R = _l2_kernel_rows(budgets["rmax"])
     if R // 128 > 16:
         return False
     mw = sidx.mini_wpos
@@ -551,9 +569,16 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
       *exactly* as the densest ``cmax + cmw`` global-position window of
       each shard's minimizer store (then padded), so the rmax escalation
       path never triggers;
-    * ``hmax``: seed hits per fragment -- smax probes times the mean
-      posting-row length with a 4x margin, and at least the longest
-      sub-threshold row (one probe can pull a whole row).
+    * ``hmax``: seed hits per fragment **on average** (the device L1 hit
+      buffer is a flat ``F * hmax`` axis shared by the batch, so only the
+      batch mean matters, not the worst fragment) -- the typical sketch
+      size ~2l/(w+1) times the mean posting-row length with a 3x margin;
+    * ``t_chunks``: L2 offset chunks per fragment on average -- one chunk
+      covers one candidate interval (interval spans are ~l <= cmax), and
+      the expected number of intervals per fragment tracks how many
+      genomes share a fragment's minimizers, which the index exposes as
+      the mean posting-row length (each similar genome contributes ~1
+      occurrence per row).
     """
     l = params.min_read_length
     k, w = params.kmer_size, params.window_size
@@ -579,22 +604,22 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         # compiled program / persistent-cache entry
         rmax = min(_round_up(worst + 8, 512), 8192)
 
+    n_post = sum(
+        int(np.searchsorted(sidx.mini_gpos[sh].astype(np.int64), np.int64(_BIG) - 1))
+        for sh in range(sidx.n_shards)
+    )
+    n_uniq = int((sidx.uniq_hash != np.uint32(0xFFFFFFFF)).sum())
+    mean_row = (n_post / n_uniq) if n_uniq else 1.0
+
     hmax = overrides.get("hmax")
     if not hmax:
-        n_post = sum(
-            int(np.searchsorted(sidx.mini_gpos[sh].astype(np.int64), np.int64(_BIG) - 1))
-            for sh in range(sidx.n_shards)
-        )
-        n_uniq = int((sidx.uniq_hash != np.uint32(0xFFFFFFFF)).sum())
-        mean_row = (n_post / n_uniq) if n_uniq else 1.0
-        max_row = 0
-        for sh in range(sidx.n_shards):
-            rl = sidx.row_len[sh]
-            thr = int(sidx.freq_threshold[sh])
-            sub = rl[rl < thr]
-            if sub.size:
-                max_row = max(max_row, int(sub.max()))
-        hmax = _round_up(max(4.0 * smax * mean_row, max_row + smax, 1024), 512)
+        # average hits/fragment = typical sketch size x mean row length;
+        # 2x margin absorbs batch-to-batch variance (the budget bounds the
+        # batch TOTAL, so per-fragment variance averages out by CLT --
+        # only a distribution shift of the whole query batch can overflow,
+        # and that escalates once per session)
+        s_hat = max(2 * l // (w + 1), 16)
+        hmax = _round_up(max(2.0 * s_hat * mean_row, 384), 128)
         hmax = min(hmax, 16384)
 
     # bin_max: reference-position bins per contig.  Bins index
@@ -623,12 +648,20 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         )
         ivmax = min(max(_round_up(2 * g_per_shard + 16, 16), 32), 256)
 
+    # t_chunks: average L2 chunks per fragment.  Expected candidate
+    # intervals per fragment ~= genomes sharing its minimizers ~= the mean
+    # posting-row length; each interval spans ~l <= cmax so needs one
+    # chunk.  2x margin, floor 8 (the r03 bench escalated the hardcoded 4).
+    t_chunks = overrides.get("t_chunks")
+    if not t_chunks:
+        t_chunks = max(8, int(np.ceil(2.0 * mean_row)) + 2)
+
     return dict(
         hmax=int(hmax),
         ivmax=int(ivmax),
         cmax=int(cmax),
         rmax=int(rmax),
-        t_chunks=int(overrides.get("t_chunks") or 4),
+        t_chunks=int(t_chunks),
         bin_max=int(bin_max),
         smax=int(smax),
     )
@@ -725,6 +758,15 @@ class ShardedSession:
             _put(np.asarray(mh_tab), rep),
             _put(np.asarray(gate_tab), rep),
         )
+        # reentrancy: the reference documents query_* as safe to call
+        # concurrently from Python threads (_fastani.pyx:1157-1162); this
+        # session recycles staging buffers and mutates budget/program
+        # state per call, so concurrent queries serialize on one lock
+        # (the chip is a serial resource anyway -- use `query_many` to
+        # batch for throughput).
+        import threading
+
+        self._lock = threading.Lock()
         # observability (SURVEY.md §5 metrics gap): cumulative session
         # counters, exposed as a plain dict
         self.stats = {
@@ -738,15 +780,37 @@ class ShardedSession:
         }
 
     @classmethod
-    def from_index(cls, index: ShardedIndex, params, mesh: Mesh, **kwargs):
+    def from_index(cls, index: ShardedIndex, params=None, mesh: Mesh = None, **kwargs):
         """Build a session from a restored `ShardedIndex` checkpoint.
 
         ``params`` is the frozen `Parameters` the index was built under
-        (`Mapper.parameters` equivalent).  This is the multi-host resume
-        path: every process loads the checkpoint and constructs the
-        session against its (possibly process-spanning) mesh without a
-        `Mapper` or a re-partition.
+        (`Mapper.parameters` equivalent); pass `None` to restore them
+        from the checkpoint itself (indexes built by `build_sharded_index`
+        carry them).  A mismatch between an explicit ``params`` and the
+        checkpointed ones raises -- restoring an index under different
+        k/w/l would silently produce wrong ANI.  This is the multi-host
+        resume path: every process loads the checkpoint and constructs
+        the session against its (possibly process-spanning) mesh without
+        a `Mapper` or a re-partition.
         """
+        from ..models._params import Parameters
+
+        saved = (
+            Parameters.from_state(index.params_state)
+            if index.params_state
+            else None
+        )
+        if params is None:
+            if saved is None:
+                raise ValueError(
+                    "checkpoint carries no Parameters; pass params= explicitly"
+                )
+            params = saved
+        elif saved is not None and params != saved:
+            raise ValueError(
+                f"params mismatch: index was built under {saved}, "
+                f"got {params}"
+            )
         return cls(None, mesh, index=index, params=params, **kwargs)
 
     def _fragments(self, contigs):
@@ -931,8 +995,6 @@ class ShardedSession:
             from jax.sharding import NamedSharding
 
             self.stats["dispatches"] += 1
-            self.stats["fragments_dispatched"] += row
-            self.stats["fragments_padded"] += Fcap - row
             counts, isum, ovf = fn(
                 _put(frags, NamedSharding(self.mesh, P("data", None))),
                 _put(frag_qg, NamedSharding(self.mesh, P("data"))),
@@ -943,8 +1005,23 @@ class ShardedSession:
                 *self._index_args,
                 self._ident_tab,
             )
+            if jax.process_count() > 1:
+                # multi-process mesh: shard-axis outputs are only
+                # partially addressable per process; gather them so every
+                # process sees the full result (SPMD symmetry keeps the
+                # control flow identical across processes)
+                from jax.experimental import multihost_utils
+
+                counts, isum, ovf = (
+                    multihost_utils.process_allgather(x, tiled=True)
+                    for x in (counts, isum, ovf)
+                )
             ovf = np.asarray(ovf).max(axis=0)  # (5,) over shards
             if not ovf.any():
+                # per-logical-query fragment counters (dispatches counts
+                # each retry attempt; fragments are counted exactly once)
+                self.stats["fragments_dispatched"] += row
+                self.stats["fragments_padded"] += Fcap - row
                 break
             blown = [budget_names[i] for i in np.flatnonzero(ovf)]
             if attempt == 5:
@@ -992,6 +1069,14 @@ class ShardedSession:
         per_genome = [self._fragments(contigs) for contigs in genomes]
         if not per_genome:
             return []
+        with self._lock:
+            return self._query_many_locked(per_genome, frag_bucket)
+
+    def _query_many_locked(self, per_genome, frag_bucket):
+        from ..models._types import Hit
+
+        params = self.params
+        l = params.min_read_length
         self.stats["genomes_queried"] += len(per_genome)
         # grow the fixed capacity (once, sticky) if a genome demands it
         need = max(p[1] for p in per_genome)

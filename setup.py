@@ -10,7 +10,8 @@ setup(
         Extension(
             "pyfastani_tpu._native._native",
             sources=["pyfastani_tpu/_native/fastamod.c"],
-            extra_compile_args=["-O3"],
+            extra_compile_args=["-O3", "-pthread"],
+            extra_link_args=["-pthread"],
             optional=True,
         )
     ],

@@ -179,3 +179,51 @@ def test_checkpoint_restore_matches_host(tmp_path):
     ]
     for a, b in zip(got, expected):
         assert abs(a.identity - b.identity) < 1e-3
+
+
+def test_concurrent_queries_match_serial():
+    """The reference documents query_* as safe to call concurrently from
+    Python threads (ref _fastani.pyx:1157-1162, GIL released per
+    fragment).  The jax backend funnels queries into one cached
+    ShardedSession whose staging buffers are recycled across calls; the
+    session lock must keep concurrent queries from corrupting each
+    other's staging."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(29)
+    refs = [_rand_genome(rng, n) for n in (40_000, 30_000, 25_000)]
+    queries = [_mutate(rng, refs[i % 3], 0.03) for i in range(6)]
+
+    sk = Sketch(backend="jax")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+
+    serial = [mapper.query_genome(q) for q in queries]
+    assert any(serial), "workload produced no hits at all"
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        threaded = list(pool.map(mapper.query_genome, queries))
+
+    assert threaded == serial
+
+
+def test_lookup_index_edit_invalidates_jax_session():
+    """Editing `lookup_index` on a jax-backend mapper must invalidate the
+    cached device session (PostingIndex.version ride-along,
+    _sketch.py:_device_session) -- queries after the edit read the edited
+    posting rows."""
+    rng = np.random.default_rng(31)
+    ref = _rand_genome(rng, 50_000)
+    query = _mutate(rng, ref, 0.02)
+
+    sk = Sketch(backend="jax")
+    sk.add_genome("g0", ref)
+    mapper = sk.index()
+    assert mapper.query_genome(query)
+
+    idx = mapper.lookup_index
+    for h in list(idx):
+        del idx[h]
+    assert len(mapper.lookup_index) == 0
+    assert mapper.query_genome(query) == []
