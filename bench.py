@@ -129,9 +129,41 @@ def main():
         small_mbp_s=round(small_bp / 1e6 / small_elapsed, 3),
     )
 
+    # ---- winnowing throughput (the second BASELINE.json metric) ------------
+    from pyfastani_tpu import _native
+
+    win_buf = refs[0] + refs[1]  # 4 Mbp warm + measured
+    _native.winnow(win_buf, 16, 24)
+    t0 = time.time()
+    reps = 8
+    for _ in range(reps):
+        _native.winnow(win_buf, 16, 24)
+    winnow_mbp_s = reps * len(win_buf) / 1e6 / (time.time() - t0)
+    _log(f"host ingest winnow: {winnow_mbp_s:.0f} Mbp/s (C, AVX2 + 2 threads)")
+    detail["winnow_mbp_s"] = round(winnow_mbp_s, 1)
+
+    # ---- self-measured CPU denominator (BASELINE.md:5-7) -------------------
+    # the repo's own spec engine (numpy backend) on THIS host, same
+    # workload shape as the small batch -- an honest current-hardware
+    # denominator alongside the published 2018-laptop figure
+    import pickle
+
+    cpu_mapper = pickle.loads(pickle.dumps(mapper))
+    cpu_mapper._backend = "numpy"
+    t0 = time.time()
+    cpu_hits = cpu_mapper.query_genome(queries[0])
+    cpu_elapsed = time.time() - t0
+    assert cpu_hits
+    cpu_mbp_s = len(queries[0]) / 1e6 / cpu_elapsed
+    _log(f"CPU denominator (numpy engine, this host): {cpu_mbp_s:.2f} Mbp/s")
+    detail["cpu_mbp_s"] = round(cpu_mbp_s, 3)
+
     # ---- phase 2: all-vs-all (headline) ------------------------------------
     genomes = _ava_genomes()
-    _log(f"all-vs-all: {len(genomes)} genomes x {AVA_LEN} bp")
+    _log(
+        f"all-vs-all: {len(genomes)} genomes, "
+        f"{sum(len(g) for g in genomes)/1e6:.0f} Mbp total (1-5 Mbp mix)"
+    )
     t0 = time.time()
     sketch = Sketch()
     for i, g in enumerate(genomes):
@@ -159,12 +191,14 @@ def main():
         f"({n_pairs/ava_elapsed:.1f} pairs/s, {mbp_s:.2f} Mbp/s, {hits_total} hits)"
     )
     detail.update(
-        ava_genomes=len(genomes), ava_len=AVA_LEN,
+        ava_genomes=len(genomes),
+        ava_mbp=round(sum(len(g) for g in genomes) / 1e6, 1),
         ava_index_s=round(t_ava_index, 2), ava_warmup_s=round(t_ava_warm, 2),
         ava_pairs=n_pairs, ava_pairs_per_s=round(n_pairs / ava_elapsed, 2),
         ava_hits=hits_total,
     )
 
+    detail["vs_self_cpu"] = round(mbp_s / detail["cpu_mbp_s"], 2)
     result = {
         "metric": "query_throughput",
         "value": round(mbp_s, 3),

@@ -142,10 +142,7 @@ def build_index(
         uniq_hash = np.zeros(0, np.uint32)
         row_start = np.zeros(0, np.int64)
         row_len = np.zeros(0, np.int32)
-    high = (uniq_hash >> np.uint32(16)).astype(np.int64)
-    hash_bucket = np.searchsorted(high, np.arange(65537)).astype(np.int32)
-    max_bucket = int(np.diff(hash_bucket).max(initial=0))
-    bucket_steps = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+    hash_bucket, bucket_steps = build_hash_bucket(uniq_hash)
     return PostingIndex(
         mini_hash=mini_hash,
         mini_seqid=mini_seqid,
@@ -161,14 +158,40 @@ def build_index(
     )
 
 
-def _rebuild_bucket(index: PostingIndex) -> None:
-    """Recompute the high-16-bit bucket prefix after a posting edit."""
-    high = (index.uniq_hash >> np.uint32(16)).astype(np.int64)
-    index.hash_bucket = np.searchsorted(high, np.arange(65537)).astype(np.int32)
-    max_bucket = int(np.diff(index.hash_bucket).max(initial=0))
-    index.bucket_steps = (
-        max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+def build_hash_bucket(uniq_hash: np.ndarray, bits: int | None = None):
+    """Prefix-bucket table over ``uniq_hash``'s high ``bits`` bits.
+
+    Winnowed minimizer hashes are window MINIMA, so their distribution is
+    skewed low (~Beta(1, w+1) scaled): a fixed 16-bit prefix leaves the
+    crowded low buckets hundreds deep (10 binary-search steps on device).
+    The width adapts until the deepest bucket is shallow (<= 48 rows,
+    <= 2^22 entries / 16 MB), cutting the probe to ~6 gather rounds.
+
+    Returns (hash_bucket (2^bits + 1,) i32, bucket_steps).
+    """
+    if bits is None:
+        u = int(uniq_hash.shape[0])
+        bits = 16
+        while bits < 22:
+            shift = np.uint32(32 - bits)
+            high = (uniq_hash >> shift).astype(np.int64)
+            hb = np.searchsorted(high, np.arange((1 << bits) + 1))
+            if int(np.diff(hb).max(initial=0)) <= 48 or (1 << bits) >= 4 * u:
+                break
+            bits += 1
+    shift = np.uint32(32 - bits)
+    high = (uniq_hash >> shift).astype(np.int64)
+    hash_bucket = np.searchsorted(high, np.arange((1 << bits) + 1)).astype(
+        np.int32
     )
+    max_bucket = int(np.diff(hash_bucket).max(initial=0))
+    bucket_steps = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+    return hash_bucket, bucket_steps
+
+
+def _rebuild_bucket(index: PostingIndex) -> None:
+    """Recompute the prefix-bucket table after a posting edit."""
+    index.hash_bucket, index.bucket_steps = build_hash_bucket(index.uniq_hash)
     index.version += 1
 
 

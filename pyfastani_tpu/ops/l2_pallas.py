@@ -98,18 +98,19 @@ def _kernel(
     c0_ref,  # (N,) i32 first window offset
     clen_ref,  # (N,) i32 number of window offsets
     seq_ref,  # (N,) i32 contig id the chunk belongs to
-    # tensor operands (stay in HBM; sliced via DMA)
-    mh_ref,  # (Mr, 128) u32 position-ordered minimizer hashes
-    mp_ref,  # (Mr, 128) i32 window positions
-    ms_ref,  # (Mr, 128) i32 contig ids
-    mv_ref,  # (Mr, 128) i32 previous same-hash occurrence (contig-local)
+    # tensor operands (stay in HBM; sliced via DMA).  The four minimizer
+    # planes travel as ONE (4, Mr, 128) i32 stack: per-plane XLA slices
+    # of a hoisted program parameter hand Mosaic aliased offset views,
+    # which hang the DMA on real hardware -- indexing the plane inside
+    # the kernel keeps the operand a whole buffer.
+    slabs_ref,  # (4, Mr, 128) i32: [hash(bitcast), wpos, seqid, prev]
     q_ref,  # (F + 8, Sc) u32 sorted sketch hashes (UMAX pad)
     # outputs
     best_ref,  # (N,) i32
     first_ref,  # (N,) i32
     last_ref,  # (N,) i32
     # scratch
-    rh_s,  # (Rr, 128) u32
+    rh_s,  # (Rr, 128) i32 (hash bits)
     rp_s,  # (Rr, 128) i32
     rs_s,  # (Rr, 128) i32
     rv_s,  # (Rr, 128) i32
@@ -145,10 +146,18 @@ def _kernel(
 
     @pl.when((rlen > 0) & (clen > 0))
     def _live():
-        cp_h = pltpu.make_async_copy(mh_ref.at[pl.ds(row, Rr)], rh_s, sem.at[0])
-        cp_p = pltpu.make_async_copy(mp_ref.at[pl.ds(row, Rr)], rp_s, sem.at[1])
-        cp_s = pltpu.make_async_copy(ms_ref.at[pl.ds(row, Rr)], rs_s, sem.at[2])
-        cp_v = pltpu.make_async_copy(mv_ref.at[pl.ds(row, Rr)], rv_s, sem.at[3])
+        cp_h = pltpu.make_async_copy(
+            slabs_ref.at[0, pl.ds(row, Rr)], rh_s, sem.at[0]
+        )
+        cp_p = pltpu.make_async_copy(
+            slabs_ref.at[1, pl.ds(row, Rr)], rp_s, sem.at[1]
+        )
+        cp_s = pltpu.make_async_copy(
+            slabs_ref.at[2, pl.ds(row, Rr)], rs_s, sem.at[2]
+        )
+        cp_v = pltpu.make_async_copy(
+            slabs_ref.at[3, pl.ds(row, Rr)], rv_s, sem.at[3]
+        )
         cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[4])
         cp_h.start()
         cp_p.start()
@@ -191,7 +200,7 @@ def _kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        rh_i = rh_s[...].astype(jnp.int32)
+        rh_i = rh_s[...]  # hash bit pattern as i32
         rpT = _t(rp.astype(jnp.float32))
         rhT_hi = _t(((rh_i >> 16) & 0xFFFF).astype(jnp.float32))
         rhT_lo = _t((rh_i & 0xFFFF).astype(jnp.float32))
@@ -261,7 +270,7 @@ _NSEG = 2048
 
 @functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
 def _l2_pallas_impl(
-    row, ofs, rlen, frag, c0, clen, seq, mh2d, mp2d, ms2d, mv2d, q_pad,
+    row, ofs, rlen, frag, c0, clen, seq, slabs, q_pad,
     Rr: int, Sc: int, cmw: int, interpret: bool = False,
 ):
     N = row.shape[0]
@@ -277,7 +286,7 @@ def _l2_pallas_impl(
 
         def seg_fn(args):
             return _l2_pallas_impl.__wrapped__(
-                *args, mh2d, mp2d, ms2d, mv2d, q_pad, Rr, Sc, cmw, interpret
+                *args, slabs, q_pad, Rr, Sc, cmw, interpret
             )
 
         best, first, last = jax.lax.map(seg_fn, tuple(scal))
@@ -290,10 +299,10 @@ def _l2_pallas_impl(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((Rr, 128), jnp.uint32),
+            pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
@@ -311,7 +320,7 @@ def _l2_pallas_impl(
             jax.ShapeDtypeStruct((N,), jnp.int32),
         ],
         interpret=interpret,
-    )(row, ofs, rlen, frag, c0, clen, seq, mh2d, mp2d, ms2d, mv2d, q_pad)
+    )(row, ofs, rlen, frag, c0, clen, seq, slabs, q_pad)
 
 
 def _pad_rows_2d(arr_1d, fill, Mr: int, guard_rows: int):
@@ -321,6 +330,21 @@ def _pad_rows_2d(arr_1d, fill, Mr: int, guard_rows: int):
     flat = jnp.full((total,), fill, arr_1d.dtype)
     flat = jax.lax.dynamic_update_slice(flat, arr_1d, (0,))
     return flat.reshape(Mr + guard_rows, 128)
+
+
+def build_pallas_slabs(mini_hash, mini_wpos, mini_seqid, mini_prev, Mr, Rr):
+    """(4, Mr + Rr + 8, 128) i32 kernel operand (in-graph variant of the
+    host-side hoist in `parallel.sharded._pallas_host_2d`)."""
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                _pad_rows_2d(mini_hash, _UMAX, Mr, Rr + 8), jnp.int32
+            ),
+            _pad_rows_2d(mini_wpos, _BIG, Mr, Rr + 8),
+            _pad_rows_2d(mini_seqid, _BIG, Mr, Rr + 8),
+            _pad_rows_2d(mini_prev, np.int32(-_BIG), Mr, Rr + 8),
+        ]
+    )
 
 
 def l2_chunks_pallas(
@@ -350,10 +374,14 @@ def l2_chunks_pallas(
     M = int(mini_hash.shape[0])
     Mr = max(1, -(-M // 128))
 
-    mh2d = _pad_rows_2d(jnp.asarray(mini_hash), _UMAX, Mr, Rr + 8)
-    mp2d = _pad_rows_2d(jnp.asarray(mini_wpos, jnp.int32), _BIG, Mr, Rr + 8)
-    ms2d = _pad_rows_2d(jnp.asarray(mini_seqid, jnp.int32), _BIG, Mr, Rr + 8)
-    mv2d = _pad_rows_2d(jnp.asarray(mini_prev, jnp.int32), -_BIG, Mr, Rr + 8)
+    slabs = build_pallas_slabs(
+        jnp.asarray(mini_hash),
+        jnp.asarray(mini_wpos, jnp.int32),
+        jnp.asarray(mini_seqid, jnp.int32),
+        jnp.asarray(mini_prev, jnp.int32),
+        Mr,
+        Rr,
+    )
 
     F, S = q_sorted.shape
     Sc = max(128, -(-S // 128) * 128)
@@ -364,6 +392,6 @@ def l2_chunks_pallas(
     ofs = chunk_lo - row * 128
     return _l2_pallas_impl(
         row, ofs, chunk_rlen, chunk_frag, chunk_c0, chunk_clen, chunk_seq,
-        mh2d, mp2d, ms2d, mv2d, q_pad,
+        slabs, q_pad,
         Rr, Sc, cmw, interpret,
     )

@@ -66,7 +66,7 @@ class ShardedIndex:
     contig_offset: np.ndarray  # (n, C+1) i32 cumulative global offsets
     seq_to_genome: np.ndarray  # (n, C) i32 contig -> local genome id
     freq_threshold: np.ndarray  # (n,) i32
-    hash_bucket: np.ndarray  # (n, 65537) i32 high-16-bit prefix per shard
+    hash_bucket: np.ndarray  # (n, 2^bits+1) i32 hash-prefix table per shard
     bucket_steps: int  # max binary-search depth across shards
     genome_names: list  # list per shard of genome names
     genome_lengths: np.ndarray  # (n, G) i64
@@ -221,6 +221,18 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         compute_mini_prev(s.mini_hash, s.mini_seqid, s.mini_wpos) for s in subs
     ]
 
+    # bucket tables must share a width across shards (they stack into one
+    # (n, 2^bits+1) array); rebuild every shard's at the widest choice
+    bits_all = [
+        int(s.hash_bucket.shape[0] - 1).bit_length() - 1 for s in subs
+    ]
+    common_bits = max(bits_all)
+    bucket_tabs, bucket_steps_all = [], []
+    for s in subs:
+        tab, steps = np_engine.build_hash_bucket(s.uniq_hash, common_bits)
+        bucket_tabs.append(tab)
+        bucket_steps_all.append(steps)
+
     return ShardedIndex(
         uniq_hash=pad2([s.uniq_hash for s in subs], 0xFFFFFFFF, np.uint32),
         row_start=pad2([s.row_start.astype(np.int32) for s in subs], 0, np.int32),
@@ -238,8 +250,8 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
             min_width=n_ctg_max,
         ),
         freq_threshold=np.asarray([s.freq_threshold for s in subs], np.int32),
-        hash_bucket=np.stack([s.hash_bucket for s in subs]).astype(np.int32),
-        bucket_steps=max(s.bucket_steps for s in subs),
+        hash_bucket=np.stack(bucket_tabs).astype(np.int32),
+        bucket_steps=max(bucket_steps_all),
         genome_names=[s[2] for s in shards],
         genome_lengths=pad2(
             [np.asarray(s[3], np.int64) for s in shards], 0, np.int64
@@ -260,6 +272,7 @@ def _l2_interval_scan(
     q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, mini_prev, contig_offset,
     cmw: int, cmax: int, rmax: int, ch_max: int, use_pallas: bool = False,
+    pallas_idx=None,
 ):
     """(best, first, last, ovf_chunks, ovf_r) per interval.
 
@@ -299,7 +312,7 @@ def _l2_interval_scan(
     M = mini_hash.shape[0]
 
     if use_pallas:
-        from ..ops.l2_pallas import _l2_pallas_impl, _pad_rows_2d
+        from ..ops.l2_pallas import _l2_pallas_impl, build_pallas_slabs
 
         R = _l2_kernel_rows(rmax)
         Rr = R // 128
@@ -312,11 +325,17 @@ def _l2_interval_scan(
         rlen = jnp.clip(rlen, 0, R - 128)
         clen_eff = jnp.where(ch_valid, ch_len, 0)
 
-        Mr = max(1, -(-M // 128))
-        mh2d = _pad_rows_2d(mini_hash, np.uint32(0xFFFFFFFF), Mr, Rr + 8)
-        mp2d = _pad_rows_2d(mini_wpos, _BIG, Mr, Rr + 8)
-        ms2d = _pad_rows_2d(mini_seqid, _BIG, Mr, Rr + 8)
-        mv2d = _pad_rows_2d(mini_prev, np.int32(-_BIG), Mr, Rr + 8)
+        if pallas_idx is not None:
+            # (4, rows, 128) padded index slabs hoisted to session setup
+            # (pure functions of the index; re-padding them every
+            # dispatch cost a multi-MB copy pass).  Passed WHOLE to the
+            # kernel -- see the operand note in ops/l2_pallas._kernel.
+            slabs = pallas_idx
+        else:
+            Mr = max(1, -(-M // 128))
+            slabs = build_pallas_slabs(
+                mini_hash, mini_wpos, mini_seqid, mini_prev, Mr, Rr
+            )
         F, S = q_sorted.shape
         Sc = max(128, -(-S // 128) * 128)
         q_pad = jnp.full((F + 8, Sc), np.uint32(0xFFFFFFFF), jnp.uint32)
@@ -328,7 +347,7 @@ def _l2_interval_scan(
         interp = os.environ.get("PYFASTANI_TPU_PALLAS_INTERPRET") == "1"
         cbest, cfirst, clast = _l2_pallas_impl.__wrapped__(
             lo // 128, lo % 128, rlen, ch_frag, ch_c0, clen_eff, ch_seq,
-            mh2d, mp2d, ms2d, mv2d, q_pad, Rr, Sc, cmw, interp,
+            slabs, q_pad, Rr, Sc, cmw, interp,
         )
         rovf = rovf[None]
     else:
@@ -390,7 +409,7 @@ def _query_block_impl(
     k: int, w: int, length: int, protein: bool, l: int,
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
-    bucket_steps: int = 21, use_pallas: bool = False,
+    bucket_steps: int = 21, use_pallas: bool = False, pallas_idx=None,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
@@ -431,6 +450,7 @@ def _query_block_impl(
         frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
         mini_prev, contig_offset, cmw, cmax, rmax, ch_max, use_pallas,
+        pallas_idx,
     )
     # per-budget overflow flags: [smax, hmax, ivmax, t_chunks, rmax]
     ovf_vec = jnp.stack([
@@ -558,6 +578,25 @@ def _round_up(n: int, m: int) -> int:
     return -(-int(n) // m) * m
 
 
+def _pallas_host_2d(sidx: "ShardedIndex", R: int) -> np.ndarray:
+    """Host-side build of the Pallas kernel's (n, 4, rows, 128) padded
+    index slabs (hash-as-i32, wpos, seqid, prev) -- hoisted out of the
+    compiled program so each dispatch skips the multi-MB re-pad."""
+    Rr = R // 128
+    M = int(sidx.mini_hash.shape[1])
+    Mr = max(1, -(-M // 128))
+    rows = Mr + Rr + 8
+    fills = (-1, _BIG, _BIG, -_BIG)  # -1 == 0xFFFFFFFF bitcast
+    out = np.empty((sidx.n_shards, 4, rows, 128), np.int32)
+    srcs = (sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid, sidx.mini_prev)
+    for sh in range(sidx.n_shards):
+        for j, (src, fill) in enumerate(zip(srcs, fills)):
+            flat = np.full(rows * 128, fill, np.int32)
+            flat[:M] = src[sh].view(np.int32)
+            out[sh, j] = flat.reshape(rows, 128)
+    return out
+
+
 def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     """Derive the static device budgets from index statistics so typical
     workloads run with zero overflow escalations (VERDICT: budgets must be
@@ -637,16 +676,16 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         bin_max = min(max(_round_up(max_span // l + 2, 64), 64), 4096)
 
     # ivmax: merged L1 candidate intervals per fragment.  Candidates are
-    # l-windows holding >= m seed hits; after merging, a fragment sees at
-    # most a few per homologous locus, and loci scale with the number of
-    # genomes a shard holds -- so size from the densest shard's genome
-    # count (2 intervals/genome + slack), like the other budgets.
+    # l-windows holding >= m seed hits; after merging, a fragment sees a
+    # few per *similar* genome -- and cross-genome similarity is what the
+    # mean posting-row length measures (each similar genome contributes
+    # ~1 occurrence per row).  Sizing from the genome count (the old
+    # rule) made the interval axis scale with the reference set: at 256
+    # genomes/shard every NIV-sized reduction carried 64x dead slots.
+    # 8x margin + escalation-on-overflow keeps it honest.
     ivmax = overrides.get("ivmax")
     if not ivmax:
-        g_per_shard = max(
-            (len(names) for names in sidx.genome_names), default=1
-        )
-        ivmax = min(max(_round_up(2 * g_per_shard + 16, 16), 32), 256)
+        ivmax = min(max(_round_up(int(8 * mean_row) + 16, 16), 48), 256)
 
     # t_chunks: average L2 chunks per fragment.  Expected candidate
     # intervals per fragment ~= genomes sharing its minimizers ~= the mean
@@ -654,7 +693,7 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     # chunk.  2x margin, floor 8 (the r03 bench escalated the hardcoded 4).
     t_chunks = overrides.get("t_chunks")
     if not t_chunks:
-        t_chunks = max(8, int(np.ceil(2.0 * mean_row)) + 2)
+        t_chunks = max(4, int(np.ceil(2.0 * mean_row)) + 2)
 
     return dict(
         hmax=int(hmax),
@@ -886,10 +925,17 @@ class ShardedSession:
         bucket_steps = self.sidx.bucket_steps
 
         use_pallas = self._use_pallas and _pallas_ok(self.sidx, b)
+        # The kernel's index slabs are rebuilt INSIDE the program by
+        # default: feeding them as a hoisted jit parameter makes the
+        # Mosaic manual DMA hang on this platform (execution never
+        # completes; a parameter-slice operand is the trigger, the
+        # in-graph copy is bit-identical and costs a few ms).
+        # PYFASTANI_TPU_HOIST=1 re-enables the hoisted path.
+        use_hoist = os.environ.get("PYFASTANI_TPU_HOIST", "0") == "1"
 
         def block_fn(frags_b, qg_b, epoch_marker, uniq, rstart, rlen, pseq,
                      pwpos, mhash, mwpos, mseq, mgpos, mprev, coff, s2g, thr,
-                     hb, mht, gt, it2d):
+                     hb, mht, gt, it2d, p2d):
             best_bin, ovf_vec = _query_block_impl(
                 frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
                 mhash[0], mwpos[0], mseq[0], mgpos[0], mprev[0], coff[0],
@@ -898,7 +944,7 @@ class ShardedSession:
                 params.alphabet_size != 4, l,
                 b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
                 g_max, bin_max, b["smax"], q_count, bucket_steps,
-                use_pallas,
+                use_pallas, p2d[0] if (use_pallas and use_hoist) else None,
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
@@ -937,6 +983,7 @@ class ShardedSession:
                 P("data", None), P("data"), P(None),
                 si, si, si, si, si, si, si, si, si, si, si, si, P("shard"),
                 si, P(None), P(None), P(None, None),
+                P("shard", None, None, None),
             ),
             out_specs=(
                 P("shard", None, None), P("shard", None, None),
@@ -949,81 +996,142 @@ class ShardedSession:
         self._fn = fn
         return fn
 
-    def _dispatch_group(self, per_genome, group):
-        """Run one fixed-capacity device dispatch for <= q_capacity genomes
-        whose fragments fit the fragment capacity.  Returns
-        (counts, isum) numpy arrays of shape (n_shard, q_capacity, g_max)."""
+    def _prepare_tables(self):
+        """(Re)build the budget-derived device tables (identity table and
+        the hoisted Pallas index slabs) when the budgets changed."""
+        from jax.sharding import NamedSharding
+
+        smax = self.budgets["smax"]
+        if self._ident_tab is None or self._ident_tab.shape[0] != smax + 1:
+            self._ident_tab = _put(
+                stats.identity_table(smax, self.params.kmer_size),
+                NamedSharding(self.mesh, P()),
+            )
+        use_hoist_now = (
+            self._use_pallas
+            and _pallas_ok(self.sidx, self.budgets)
+            and os.environ.get("PYFASTANI_TPU_HOIST", "0") == "1"
+        )
+        R = _l2_kernel_rows(self.budgets["rmax"]) if use_hoist_now else 0
+        if getattr(self, "_pallas_2d_R", None) != R:
+            arr = (
+                _pallas_host_2d(self.sidx, R)
+                if use_hoist_now
+                else np.zeros((self.n_shard, 4, 1, 128), np.int32)
+            )
+            self._pallas_2d = _put(
+                arr,
+                NamedSharding(self.mesh, P("shard", None, None, None)),
+            )
+            self._pallas_2d_R = R
+
+    def _submit_group(self, per_genome, group, slot):
+        """Stage one <= q_capacity-genome group into staging-buffer
+        ``slot`` and dispatch it WITHOUT blocking.
+
+        jax dispatch is asynchronous: returning the device handles lets
+        the caller stage and upload the next group while this one
+        computes, hiding host staging + h2d transfer (~100 ms for a full
+        fragment block over this tunnel) behind device time.  Two staging
+        buffers alternate; the caller must wait on the previous
+        occupant's input array before reusing a slot.
+        """
+        from jax.sharding import NamedSharding
+
         params = self.params
         l = params.min_read_length
         need = sum(per_genome[gi][1] for gi in group)
         Fcap = self._frag_bucket(need)
 
-        # reuse the staging buffers across calls: fresh page allocation is
+        # reuse staging buffers across calls: fresh page allocation is
         # ~50 MB/s in this sandbox, so zeroing a recycled buffer is much
         # cheaper than allocating a new one per query
-        buf = getattr(self, "_frag_buf", None)
+        bufs = getattr(self, "_frag_bufs", None)
+        if bufs is None:
+            self._frag_bufs = bufs = {}
+        buf = bufs.get(slot)
         if buf is None or buf[0].shape[0] < Fcap:
-            self._frag_buf = buf = (
+            bufs[slot] = buf = (
                 np.zeros((Fcap, l + 4), dtype=np.uint8),
                 np.zeros(Fcap, dtype=np.int32),
             )
         frags = buf[0][:Fcap]
         frag_qg = buf[1][:Fcap]
         row = 0
-        for slot, gi in enumerate(group):
+        for qslot, gi in enumerate(group):
             for block in per_genome[gi][0]:  # one copy per contig
                 n = block.shape[0]
                 frags[row : row + n, :l] = block
-                frag_qg[row : row + n] = slot
+                frag_qg[row : row + n] = qslot
                 row += n
         frags[row:] = 0
         frag_qg[row:] = 0
 
-        # run; on a static-budget overflow, escalate the specific budget and
-        # recompile (rare -- budgets are pre-sized from index statistics)
+        fn = self._get_fn()
+        self.stats["dispatches"] += 1
+        d_frags = _put(frags, NamedSharding(self.mesh, P("data", None)))
+        handles = fn(
+            d_frags,
+            _put(frag_qg, NamedSharding(self.mesh, P("data"))),
+            _put(
+                np.zeros(self._epoch + 1, np.int32),
+                NamedSharding(self.mesh, P()),
+            ),
+            *self._index_args,
+            self._ident_tab,
+            self._pallas_2d,
+        )
+        return d_frags, handles, row, Fcap
+
+    def _run_groups(self, per_genome, groups):
+        """Pipeline every dispatch group through the device; on a static
+        budget overflow, escalate and re-run the whole batch (rare --
+        budgets are pre-sized from index statistics).  Returns
+        ``[(group, counts, isum)]`` with numpy arrays of shape
+        (n_shard, q_capacity, g_max)."""
         budget_names = ["smax", "hmax", "ivmax", "t_chunks", "rmax"]
         for attempt in range(6):
-            smax = self.budgets["smax"]
-            if self._ident_tab is None or self._ident_tab.shape[0] != smax + 1:
-                from jax.sharding import NamedSharding
-
-                self._ident_tab = _put(
-                    stats.identity_table(smax, self.params.kmer_size),
-                    NamedSharding(self.mesh, P()),
+            self._prepare_tables()
+            pending = []
+            prev_in = {}
+            for g_i, group in enumerate(groups):
+                slot = g_i % 2
+                if slot in prev_in:
+                    # the h2d from this buffer must land before overwrite
+                    prev_in[slot].block_until_ready()
+                d_frags, handles, row, Fcap = self._submit_group(
+                    per_genome, group, slot
                 )
-            fn = self._get_fn()
-            from jax.sharding import NamedSharding
+                prev_in[slot] = d_frags
+                pending.append((group, handles, row, Fcap))
 
-            self.stats["dispatches"] += 1
-            counts, isum, ovf = fn(
-                _put(frags, NamedSharding(self.mesh, P("data", None))),
-                _put(frag_qg, NamedSharding(self.mesh, P("data"))),
-                _put(
-                    np.zeros(self._epoch + 1, np.int32),
-                    NamedSharding(self.mesh, P()),
-                ),
-                *self._index_args,
-                self._ident_tab,
-            )
-            if jax.process_count() > 1:
-                # multi-process mesh: shard-axis outputs are only
-                # partially addressable per process; gather them so every
-                # process sees the full result (SPMD symmetry keeps the
-                # control flow identical across processes)
-                from jax.experimental import multihost_utils
+            out = []
+            ovf_acc = np.zeros(5, np.int64)
+            for group, handles, row, Fcap in pending:
+                counts, isum, ovf = handles
+                if jax.process_count() > 1:
+                    # multi-process mesh: shard-axis outputs are only
+                    # partially addressable per process; gather them so
+                    # every process sees the full result (SPMD symmetry
+                    # keeps the control flow identical across processes)
+                    from jax.experimental import multihost_utils
 
-                counts, isum, ovf = (
-                    multihost_utils.process_allgather(x, tiled=True)
-                    for x in (counts, isum, ovf)
-                )
-            ovf = np.asarray(ovf).max(axis=0)  # (5,) over shards
-            if not ovf.any():
-                # per-logical-query fragment counters (dispatches counts
-                # each retry attempt; fragments are counted exactly once)
-                self.stats["fragments_dispatched"] += row
-                self.stats["fragments_padded"] += Fcap - row
-                break
-            blown = [budget_names[i] for i in np.flatnonzero(ovf)]
+                    counts, isum, ovf = (
+                        multihost_utils.process_allgather(x, tiled=True)
+                        for x in (counts, isum, ovf)
+                    )
+                ovf_acc = np.maximum(
+                    ovf_acc, np.asarray(ovf).max(axis=0)
+                )  # (5,) over shards
+                out.append((group, np.asarray(counts), np.asarray(isum), row, Fcap))
+            if not ovf_acc.any():
+                for group, _, _, row, Fcap in out:
+                    # per-logical-query fragment counters (dispatches
+                    # counts each retry attempt; fragments count once)
+                    self.stats["fragments_dispatched"] += row
+                    self.stats["fragments_padded"] += Fcap - row
+                return [(g, c, i) for g, c, i, _, _ in out]
+            blown = [budget_names[i] for i in np.flatnonzero(ovf_acc)]
             if attempt == 5:
                 raise RuntimeError(
                     f"sharded query budget overflow persists for {blown}"
@@ -1043,7 +1151,6 @@ class ShardedSession:
             )
             self._fn = None
             self._epoch += 1
-        return np.asarray(counts), np.asarray(isum)
 
     def query_many(self, genomes, frag_bucket: int | None = None):
         """Query a batch of genomes through the fixed-capacity program.
@@ -1132,10 +1239,8 @@ class ShardedSession:
 
         sidx = self.sidx
         results = [[] for _ in per_genome]
-        for group in groups:
-            if not any(per_genome[gi][1] for gi in group):
-                continue
-            counts, isum = self._dispatch_group(per_genome, group)
+        groups = [g for g in groups if any(per_genome[gi][1] for gi in g)]
+        for group, counts, isum in self._run_groups(per_genome, groups):
             for slot, gi in enumerate(group):
                 _, total_fragments, total_length = per_genome[gi]
                 hits = []

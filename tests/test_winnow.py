@@ -105,3 +105,19 @@ def test_jax_winnow_matches_numpy():
     rec_j, h_j = device_path(jnp.asarray(padded))
     np.testing.assert_array_equal(rec_np, np.asarray(rec_j))
     np.testing.assert_array_equal(h_np[rec_np], np.asarray(h_j)[np.asarray(rec_j)])
+
+
+def test_scan2_matches_flat_scans():
+    """The 2-level flat-scan decomposition in ops.l1 must equal the plain
+    cumulative scans for both multiples and non-multiples of the row
+    width (the non-multiple path falls back)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyfastani_tpu.ops.l1 import _scan2
+
+    rng = np.random.default_rng(11)
+    for n in (512 * 7, 512 * 7 + 3, 100):
+        x = jnp.asarray(rng.integers(-50, 50, size=n, dtype=np.int64).astype(np.int32))
+        assert np.array_equal(np.asarray(_scan2(jax.lax.cumsum, x)), np.cumsum(np.asarray(x)).astype(np.int32))
+        assert np.array_equal(np.asarray(_scan2(jax.lax.cummax, x)), np.maximum.accumulate(np.asarray(x)))
