@@ -165,14 +165,14 @@ def build_hash_bucket(uniq_hash: np.ndarray, bits: int | None = None):
     skewed low (~Beta(1, w+1) scaled): a fixed 16-bit prefix leaves the
     crowded low buckets hundreds deep (10 binary-search steps on device).
     The width adapts until the deepest bucket is shallow (<= 48 rows,
-    <= 2^22 entries / 16 MB), cutting the probe to ~6 gather rounds.
+    <= 2^24 entries / 64 MB), cutting the probe to ~6 gather rounds.
 
     Returns (hash_bucket (2^bits + 1,) i32, bucket_steps).
     """
     if bits is None:
         u = int(uniq_hash.shape[0])
         bits = 16
-        while bits < 22:
+        while bits < 24:  # <= 64 MB table; a 36M-row index needs 24
             shift = np.uint32(32 - bits)
             high = (uniq_hash >> shift).astype(np.int64)
             hb = np.searchsorted(high, np.arange((1 << bits) + 1))
@@ -539,12 +539,31 @@ def compute_cgi(
     results = []
     for gid in np.unique(g3):
         sel = i3[g3 == gid]
-        # sequential float32 accumulation, mirroring the C float sum
-        acc = np.cumsum(sel.astype(np.float32), dtype=np.float32)[-1]
         results.append(
-            (int(gid), int(sel.shape[0]), float(np.float32(acc / np.float32(sel.shape[0]))))
+            (int(gid), int(sel.shape[0]), mean_identity(sel))
         )
     return results
+
+
+def mean_identity(idents_f32: np.ndarray) -> float:
+    """Order-independent mean of float32 identities, shared by BOTH
+    engines (the bitwise engine contract).
+
+    Identities are quantized to a 2^-17 grid (exact for values >= 64 --
+    every representable f32 there already lies on it; <= 7.6e-6 off
+    otherwise, far inside the goldens' 1e-4 gate) and summed as exact
+    integers, so any reduction order -- host loop, device segment
+    reduction tree, multi-chip collective -- produces the identical
+    float32 mean.  A sequential float32 sum (the reconstructed C
+    semantics) is order-DEPENDENT, which no parallel reduction can
+    reproduce bitwise; see KNOWN_DEVIATIONS.md.
+    """
+    q17 = np.rint(
+        np.float32(idents_f32.astype(np.float32) * np.float32(131072.0))
+    ).astype(np.int64)
+    total = int(q17.sum())
+    n = int(idents_f32.shape[0])
+    return float(np.float32(total / (131072.0 * n)))
 
 
 # --- whole-genome query ------------------------------------------------------

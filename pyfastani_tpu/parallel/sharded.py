@@ -76,6 +76,12 @@ class ShardedIndex:
     # sketch parameters like the reference pickle does (_fastani.pyx
     # __getstate__ keeps params with the sketch state)
     params_state: dict | None = None
+    # prefix-bucket table over mini_gpos (global positions) so the L2
+    # range searches run ~4 gather rounds instead of log2(M) (~26 at a
+    # 56M-minimizer index); rebuilt lazily for checkpoints that predate it
+    gpos_bucket: np.ndarray | None = None  # (n, 2^B + 1) i32
+    gpos_shift: int = 0
+    gpos_steps: int = 0
 
     @property
     def n_contig_slots(self) -> int:
@@ -105,6 +111,8 @@ class ShardedIndex:
             "n_shards": self.n_shards,
             "genome_names": self.genome_names,
             "params_state": self.params_state,
+            "gpos_shift": self.gpos_shift,
+            "gpos_steps": self.gpos_steps,
         }
         if not path.endswith(".npz"):
             path += ".npz"  # savez appends it; keep load() symmetric
@@ -127,6 +135,36 @@ class ShardedIndex:
             meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
             arrays = {k: data[k] for k in data.files if k != "__meta__"}
         return cls(**arrays, **meta)
+
+
+def _build_gpos_bucket(mini_gpos: np.ndarray):
+    """Per-shard prefix-bucket tables over the (sorted, _BIG-padded)
+    global-position arrays: returns (bucket (n, 2^B+1) i32, shift, steps).
+
+    Positions are near-uniform (unlike the winnowed hashes), so B is
+    simply sized to ~16 entries per bucket, capped at 2^22 (16 MB)."""
+    n, M = mini_gpos.shape
+    m_real = [
+        int(np.searchsorted(mini_gpos[sh], np.int64(_BIG) - 1))
+        for sh in range(n)
+    ]
+    max_gpos = 1
+    for sh in range(n):
+        if m_real[sh]:
+            max_gpos = max(max_gpos, int(mini_gpos[sh, m_real[sh] - 1]))
+    B = min(22, max(16, (max(m_real, default=16) // 16).bit_length()))
+    shift = max(0, int(max_gpos).bit_length() - B)
+    edges = (np.arange((1 << B) + 1, dtype=np.int64) << shift).clip(
+        max=np.int64(2**31 - 1)
+    )
+    out = np.empty((n, (1 << B) + 1), np.int32)
+    steps = 1
+    for sh in range(n):
+        g = mini_gpos[sh, : m_real[sh]].astype(np.int64)
+        out[sh] = np.searchsorted(g, edges).astype(np.int32)
+        mb = int(np.diff(out[sh]).max(initial=0))
+        steps = max(steps, max(1, int(np.ceil(np.log2(mb + 1)))) if mb else 1)
+    return out, shift, steps
 
 
 def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
@@ -233,6 +271,9 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         bucket_tabs.append(tab)
         bucket_steps_all.append(steps)
 
+    gpos2d = pad2(gpos, _BIG, np.int32)
+    gpos_bucket, gpos_shift, gpos_steps = _build_gpos_bucket(gpos2d)
+
     return ShardedIndex(
         uniq_hash=pad2([s.uniq_hash for s in subs], 0xFFFFFFFF, np.uint32),
         row_start=pad2([s.row_start.astype(np.int32) for s in subs], 0, np.int32),
@@ -242,7 +283,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         mini_hash=pad2([s.mini_hash for s in subs], 0xFFFFFFFF, np.uint32),
         mini_wpos=pad2([s.mini_wpos for s in subs], _BIG, np.int32),
         mini_seqid=pad2([s.mini_seqid for s in subs], _BIG, np.int32),
-        mini_gpos=pad2(gpos, _BIG, np.int32),
+        mini_gpos=gpos2d,
         mini_prev=pad2(prev, -_BIG, np.int32),
         contig_offset=np.stack(offsets),
         seq_to_genome=pad2(
@@ -258,6 +299,9 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         ),
         n_shards=n_shards,
         params_state=mapper._param.to_state(),
+        gpos_bucket=gpos_bucket,
+        gpos_shift=gpos_shift,
+        gpos_steps=gpos_steps,
     )
 
 
@@ -268,11 +312,30 @@ _CH_SLAB = 256  # chunk work items per inner step (wide slabs cut the
 # which is what bounds further slab growth)
 
 
+def _bucketed_gpos_search(mini_gpos, keys, bucket, shift: int, steps: int):
+    """`searchsorted(mini_gpos, keys, 'left')` through the prefix-bucket
+    table: ~`steps` gather rounds instead of log2(M) (26 at 56M minis)."""
+    b = jnp.clip(
+        (keys >> np.int32(shift)).astype(jnp.int32), 0, bucket.shape[0] - 2
+    )
+    lo = bucket[b]
+    hi = bucket[b + 1]
+    M = mini_gpos.shape[0]
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = mini_gpos[jnp.clip(mid, 0, max(M - 1, 0))]
+        go_right = v < keys
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return lo
+
+
 def _l2_interval_scan(
     q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, mini_prev, contig_offset,
     cmw: int, cmax: int, rmax: int, ch_max: int, use_pallas: bool = False,
-    pallas_idx=None,
+    pallas_idx=None, gpos_aux=None,
 ):
     """(best, first, last, ovf_chunks, ovf_r) per interval.
 
@@ -288,15 +351,24 @@ def _l2_interval_scan(
 
     Per-interval results merge back with segment reductions either way.
     """
+    from ..ops.l1 import _scan2
+
     NI = iv_seq.shape[0]
     span = jnp.where(iv_valid, iv_c1 - iv_c0 + 1, 0)
     n_ch = (span + cmax - 1) // cmax
-    ends = jnp.cumsum(n_ch)
+    ends = _scan2(jax.lax.cumsum, n_ch)
     total = ends[-1]
     starts = ends - n_ch
 
     j = jnp.arange(ch_max, dtype=jnp.int32)
-    iv_of = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    # owning interval per chunk slot: scatter each non-empty interval's
+    # id at its first slot + cummax fill (the searchsorted equivalent
+    # cost ~17 gather rounds over the chunk axis; see ops/l1 cost model)
+    scat0 = jnp.where(n_ch > 0, jnp.minimum(starts, ch_max), ch_max)
+    iv_of = jnp.zeros((ch_max + 1,), jnp.int32).at[scat0].max(
+        jnp.arange(NI, dtype=jnp.int32)
+    )
+    iv_of = _scan2(jax.lax.cummax, iv_of[:ch_max])
     iv_of_c = jnp.clip(iv_of, 0, NI - 1)
     t = j - starts[iv_of_c]
     ch_c0 = iv_c0[iv_of_c] + t * cmax
@@ -316,10 +388,15 @@ def _l2_interval_scan(
 
         R = _l2_kernel_rows(rmax)
         Rr = R // 128
-        lo = jnp.searchsorted(mini_gpos, ch_base + ch_c0).astype(jnp.int32)
-        hi = jnp.searchsorted(
-            mini_gpos, ch_base + jnp.minimum(ch_c0 + ch_len - 1 + cmw, _BIG)
-        ).astype(jnp.int32)
+        key_lo = ch_base + ch_c0
+        key_hi = ch_base + jnp.minimum(ch_c0 + ch_len - 1 + cmw, _BIG)
+        if gpos_aux is not None:
+            gb, gshift, gsteps = gpos_aux
+            lo = _bucketed_gpos_search(mini_gpos, key_lo, gb, gshift, gsteps)
+            hi = _bucketed_gpos_search(mini_gpos, key_hi, gb, gshift, gsteps)
+        else:
+            lo = jnp.searchsorted(mini_gpos, key_lo).astype(jnp.int32)
+            hi = jnp.searchsorted(mini_gpos, key_hi).astype(jnp.int32)
         rlen = jnp.where(ch_valid, hi - lo, 0)
         rovf = jnp.any(rlen > R - 128)
         rlen = jnp.clip(rlen, 0, R - 128)
@@ -410,6 +487,7 @@ def _query_block_impl(
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
     bucket_steps: int = 21, use_pallas: bool = False, pallas_idx=None,
+    gpos_aux=None,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
@@ -450,7 +528,7 @@ def _query_block_impl(
         frag_of_iv, iv_seq.reshape(-1), iv_c0.reshape(-1), iv_c1.reshape(-1),
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
         mini_prev, contig_offset, cmw, cmax, rmax, ch_max, use_pallas,
-        pallas_idx,
+        pallas_idx, gpos_aux,
     )
     # per-budget overflow flags: [smax, hmax, ivmax, t_chunks, rmax]
     ovf_vec = jnp.stack([
@@ -653,12 +731,14 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     hmax = overrides.get("hmax")
     if not hmax:
         # average hits/fragment = typical sketch size x mean row length;
-        # 2x margin absorbs batch-to-batch variance (the budget bounds the
-        # batch TOTAL, so per-fragment variance averages out by CLT --
-        # only a distribution shift of the whole query batch can overflow,
-        # and that escalates once per session)
+        # 1.5x margin absorbs batch-to-batch variance (the budget bounds
+        # the batch TOTAL, so per-fragment variance averages out by CLT;
+        # a self-query batch -- every sketch hash found -- sits at ~1.0x,
+        # and a whole-batch distribution shift escalates once per
+        # session).  Every T-sized L1 pass scales with this, so margin
+        # is device time: 2.0x cost ~140 ms/dispatch on the ava profile.
         s_hat = max(2 * l // (w + 1), 16)
-        hmax = _round_up(max(2.0 * s_hat * mean_row, 384), 128)
+        hmax = _round_up(max(1.5 * s_hat * mean_row, 384), 128)
         hmax = min(hmax, 16384)
 
     # bin_max: reference-position bins per contig.  Bins index
@@ -691,9 +771,13 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     # intervals per fragment ~= genomes sharing its minimizers ~= the mean
     # posting-row length; each interval spans ~l <= cmax so needs one
     # chunk.  2x margin, floor 8 (the r03 bench escalated the hardcoded 4).
+    # (a 2x-mean_row rule under-provisioned a family-structured index --
+    # mean_row 2.0 escalated 6 -> 12 mid-warmup; similar genomes
+    # contribute ~2 chunks per matching locus once intervals merge
+    # across l-sized windows, so budget 4 chunks per row-mate + slack)
     t_chunks = overrides.get("t_chunks")
     if not t_chunks:
-        t_chunks = max(4, int(np.ceil(2.0 * mean_row)) + 2)
+        t_chunks = max(8, int(np.ceil(4.0 * mean_row)) + 4)
 
     return dict(
         hmax=int(hmax),
@@ -749,6 +833,13 @@ class ShardedSession:
             sidx = index
         else:
             sidx = build_sharded_index(mapper, self.n_shard)
+        if sidx.gpos_bucket is None:
+            # checkpoint predating the gpos prefix table: rebuild it
+            (
+                sidx.gpos_bucket,
+                sidx.gpos_shift,
+                sidx.gpos_steps,
+            ) = _build_gpos_bucket(sidx.mini_gpos)
         self.sidx = sidx
         self.budgets = _presize_budgets(
             sidx, params,
@@ -797,6 +888,7 @@ class ShardedSession:
             _put(np.asarray(mh_tab), rep),
             _put(np.asarray(gate_tab), rep),
         )
+        self._gpos_bucket_dev = _put(sidx.gpos_bucket, sh2)
         # reentrancy: the reference documents query_* as safe to call
         # concurrently from Python threads (_fastani.pyx:1157-1162); this
         # session recycles staging buffers and mutates budget/program
@@ -933,9 +1025,12 @@ class ShardedSession:
         # PYFASTANI_TPU_HOIST=1 re-enables the hoisted path.
         use_hoist = os.environ.get("PYFASTANI_TPU_HOIST", "0") == "1"
 
+        gpos_shift = self.sidx.gpos_shift
+        gpos_steps = self.sidx.gpos_steps
+
         def block_fn(frags_b, qg_b, epoch_marker, uniq, rstart, rlen, pseq,
                      pwpos, mhash, mwpos, mseq, mgpos, mprev, coff, s2g, thr,
-                     hb, mht, gt, it2d, p2d):
+                     hb, mht, gt, it2d, p2d, gb2):
             best_bin, ovf_vec = _query_block_impl(
                 frags_b, qg_b, uniq[0], rstart[0], rlen[0], pseq[0], pwpos[0],
                 mhash[0], mwpos[0], mseq[0], mgpos[0], mprev[0], coff[0],
@@ -945,6 +1040,7 @@ class ShardedSession:
                 b["hmax"], b["ivmax"], b["cmax"], b["rmax"], b["t_chunks"],
                 g_max, bin_max, b["smax"], q_count, bucket_steps,
                 use_pallas, p2d[0] if (use_pallas and use_hoist) else None,
+                (gb2[0], gpos_shift, gpos_steps) if gpos_steps else None,
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
@@ -956,21 +1052,35 @@ class ShardedSession:
             # mismatch)
             ovf_vec = ovf_vec + 0 * epoch_marker.sum()
             C = s2g.shape[1]
-            bin_gid = jnp.tile(jnp.repeat(s2g[0], bin_max), q_count)
-            bin_qg = jnp.repeat(
-                jnp.arange(q_count, dtype=jnp.int32), C * bin_max
-            )
-            key = bin_qg * g_max + bin_gid
-            occupied = best_bin > 0.0
-            counts = jax.ops.segment_sum(
-                occupied.astype(jnp.int32), key, num_segments=q_count * g_max
-            ).reshape(q_count, g_max)
-            isum = jax.ops.segment_sum(
-                jnp.where(occupied, best_bin, 0.0),
-                key,
-                num_segments=q_count * g_max,
-            ).reshape(q_count, g_max)
-            return counts[None], isum[None], ovf_vec[None]
+            # bins are contiguous per (query genome, contig): reduce the
+            # bin axis with a vectorized sum first (a segment_sum keyed
+            # over the full q*C*bin_max axis is a serialized scatter --
+            # ~200 ms per dispatch at 256 genomes x 1728 bins), then
+            # fold the tiny (q, C) per-contig totals into genomes.
+            # Identities accumulate as EXACT fixed-point integers (the
+            # 2^17 grid of `_engine_np.mean_identity`) split into 12-bit
+            # limbs, so the reduction order cannot perturb the mean and
+            # the engines stay bitwise-equal by construction.
+            bb3 = best_bin.reshape(q_count, C, bin_max)
+            occ = bb3 > 0.0
+            q17 = jnp.round(bb3 * jnp.float32(131072.0)).astype(jnp.int32)
+            q17 = jnp.where(occ, q17, 0)
+            counts_qc = occ.sum(axis=2).astype(jnp.int32)  # (q, C)
+            hi_qc = (q17 >> 12).sum(axis=2).astype(jnp.int32)
+            lo_qc = (q17 & 0xFFF).sum(axis=2).astype(jnp.int32)
+            key = (
+                jnp.arange(q_count, dtype=jnp.int32)[:, None] * g_max + s2g[0]
+            ).reshape(-1)
+
+            def fold(x_qc):
+                return jax.ops.segment_sum(
+                    x_qc.reshape(-1), key, num_segments=q_count * g_max
+                ).reshape(q_count, g_max)
+
+            counts = fold(counts_qc)
+            isum_hi = fold(hi_qc)
+            isum_lo = fold(lo_qc)
+            return counts[None], isum_hi[None], isum_lo[None], ovf_vec[None]
 
         block_fn.__name__ = f"block_fn_e{self._epoch}"
         block_fn.__qualname__ = block_fn.__name__
@@ -983,11 +1093,11 @@ class ShardedSession:
                 P("data", None), P("data"), P(None),
                 si, si, si, si, si, si, si, si, si, si, si, si, P("shard"),
                 si, P(None), P(None), P(None, None),
-                P("shard", None, None, None),
+                P("shard", None, None, None), si,
             ),
             out_specs=(
                 P("shard", None, None), P("shard", None, None),
-                P("shard", None),
+                P("shard", None, None), P("shard", None),
             ),
             # pallas_call outputs carry no varying-mesh-axes metadata;
             # skip the vma check (the out_specs above are authoritative)
@@ -1080,6 +1190,7 @@ class ShardedSession:
             *self._index_args,
             self._ident_tab,
             self._pallas_2d,
+            self._gpos_bucket_dev,
         )
         return d_frags, handles, row, Fcap
 
@@ -1108,7 +1219,7 @@ class ShardedSession:
             out = []
             ovf_acc = np.zeros(5, np.int64)
             for group, handles, row, Fcap in pending:
-                counts, isum, ovf = handles
+                counts, isum_hi, isum_lo, ovf = handles
                 if jax.process_count() > 1:
                     # multi-process mesh: shard-axis outputs are only
                     # partially addressable per process; gather them so
@@ -1116,14 +1227,18 @@ class ShardedSession:
                     # keeps the control flow identical across processes)
                     from jax.experimental import multihost_utils
 
-                    counts, isum, ovf = (
+                    counts, isum_hi, isum_lo, ovf = (
                         multihost_utils.process_allgather(x, tiled=True)
-                        for x in (counts, isum, ovf)
+                        for x in (counts, isum_hi, isum_lo, ovf)
                     )
                 ovf_acc = np.maximum(
                     ovf_acc, np.asarray(ovf).max(axis=0)
                 )  # (5,) over shards
-                out.append((group, np.asarray(counts), np.asarray(isum), row, Fcap))
+                # exact fixed-point identity total (see block_fn)
+                isum_q17 = np.asarray(isum_hi).astype(np.int64) * 4096 + (
+                    np.asarray(isum_lo)
+                )
+                out.append((group, np.asarray(counts), isum_q17, row, Fcap))
             if not ovf_acc.any():
                 for group, _, _, row, Fcap in out:
                     # per-logical-query fragment counters (dispatches
@@ -1240,7 +1355,7 @@ class ShardedSession:
         sidx = self.sidx
         results = [[] for _ in per_genome]
         groups = [g for g in groups if any(per_genome[gi][1] for gi in g)]
-        for group, counts, isum in self._run_groups(per_genome, groups):
+        for group, counts, isum_q17 in self._run_groups(per_genome, groups):
             for slot, gi in enumerate(group):
                 _, total_fragments, total_length = per_genome[gi]
                 hits = []
@@ -1249,8 +1364,11 @@ class ShardedSession:
                         c = int(counts[sh, slot, gj])
                         if c == 0:
                             continue
+                        # same exact arithmetic as _engine_np.mean_identity
                         identity = float(
-                            np.float32(isum[sh, slot, gj] / np.float32(c))
+                            np.float32(
+                                int(isum_q17[sh, slot, gj]) / (131072.0 * c)
+                            )
                         )
                         min_length = min(
                             total_length, int(sidx.genome_lengths[sh, gj])

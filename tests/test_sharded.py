@@ -227,3 +227,36 @@ def test_lookup_index_edit_invalidates_jax_session():
         del idx[h]
     assert len(mapper.lookup_index) == 0
     assert mapper.query_genome(query) == []
+
+
+def test_many_genomes_per_shard():
+    """>=128 genomes in a single shard (BASELINE.json config-4 shape):
+    the per-shard capacity derivations (ivmax, bin_max, per-genome CGI
+    segmentation) must hold with zero escalations and match the host
+    engine."""
+    rng = np.random.default_rng(53)
+    genomes = []
+    for fam in range(32):  # 32 families x 4 mutants = 128 genomes
+        base = _rand_genome(rng, 18_000 + 500 * (fam % 5))
+        for _ in range(4):
+            genomes.append(_mutate(rng, base, 0.03))
+
+    sk = Sketch(backend="numpy")
+    for i, g in enumerate(genomes):
+        sk.add_genome(f"g{i}", g)
+    mapper = sk.index()
+
+    from pyfastani_tpu.parallel.sharded import ShardedSession
+
+    mesh = make_mesh(len(jax.devices()), 1)  # all-data, ONE shard
+    sess = ShardedSession(mapper, mesh)
+    queries = [genomes[i] for i in (0, 41, 87, 126)]
+    got = sess.query_many([[q] for q in queries])
+    assert sess.stats["budget_escalations"] == 0, sess.budgets
+    for q, hits in zip(queries, got):
+        expected = mapper.query_genome(q)
+        assert [(h.name, h.matches, h.fragments) for h in hits] == [
+            (h.name, h.matches, h.fragments) for h in expected
+        ]
+        for a, b in zip(hits, expected):
+            assert abs(a.identity - b.identity) < 1e-3
