@@ -98,12 +98,13 @@ def _kernel(
     c0_ref,  # (N,) i32 first window offset
     clen_ref,  # (N,) i32 number of window offsets
     seq_ref,  # (N,) i32 contig id the chunk belongs to
-    # tensor operands (stay in HBM; sliced via DMA).  The four minimizer
-    # planes travel as ONE (4, Mr, 128) i32 stack: per-plane XLA slices
+    # tensor operands (stay in HBM; sliced via DMA).  The minimizer
+    # planes travel as ONE (3, Mr, 128) i32 stack: per-plane XLA slices
     # of a hoisted program parameter hand Mosaic aliased offset views,
     # which hang the DMA on real hardware -- indexing the plane inside
-    # the kernel keeps the operand a whole buffer.
-    slabs_ref,  # (4, Mr, 128) i32: [hash(bitcast), wpos, seqid, prev]
+    # the kernel keeps the operand a whole buffer.  No seqid plane: the
+    # caller clamps every range to one contig's minimizer block.
+    slabs_ref,  # (3, Mr, 128) i32: [hash(bitcast), wpos, prev]
     q_ref,  # (F + 8, Sc) u32 sorted sketch hashes (UMAX pad)
     # outputs
     best_ref,  # (N,) i32
@@ -112,7 +113,6 @@ def _kernel(
     # scratch
     rh_s,  # (Rr, 128) i32 (hash bits)
     rp_s,  # (Rr, 128) i32
-    rs_s,  # (Rr, 128) i32
     rv_s,  # (Rr, 128) i32
     q_s,  # (8, Sc) u32
     acc_s,  # (Rr, 128) i32 stabbing-count accumulator
@@ -152,28 +152,23 @@ def _kernel(
         cp_p = pltpu.make_async_copy(
             slabs_ref.at[1, pl.ds(row, Rr)], rp_s, sem.at[1]
         )
-        cp_s = pltpu.make_async_copy(
-            slabs_ref.at[2, pl.ds(row, Rr)], rs_s, sem.at[2]
-        )
         cp_v = pltpu.make_async_copy(
-            slabs_ref.at[3, pl.ds(row, Rr)], rv_s, sem.at[3]
+            slabs_ref.at[2, pl.ds(row, Rr)], rv_s, sem.at[2]
         )
-        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[4])
+        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[3])
         cp_h.start()
         cp_p.start()
-        cp_s.start()
         cp_v.start()
         cp_q.start()
         cp_h.wait()
         cp_p.wait()
-        cp_s.wait()
         cp_v.wait()
         cp_q.wait()
 
         flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
             jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
         )
-        valid = (flat >= ofs) & (flat < ofs + rlen) & (rs_s[...] == seq)
+        valid = (flat >= ofs) & (flat < ofs + rlen)
         rp = jnp.where(valid, rp_s[...], _BIG)
 
         # --- MXU transposes -------------------------------------------------
@@ -305,10 +300,9 @@ def _l2_pallas_impl(
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.VMEM((Rr, 128), jnp.int32),
             pltpu.VMEM((8, Sc), jnp.uint32),
             pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
@@ -332,16 +326,16 @@ def _pad_rows_2d(arr_1d, fill, Mr: int, guard_rows: int):
     return flat.reshape(Mr + guard_rows, 128)
 
 
-def build_pallas_slabs(mini_hash, mini_wpos, mini_seqid, mini_prev, Mr, Rr):
-    """(4, Mr + Rr + 8, 128) i32 kernel operand (in-graph variant of the
-    host-side hoist in `parallel.sharded._pallas_host_2d`)."""
+def build_pallas_slabs(mini_hash, mini_wpos, mini_prev, Mr, Rr):
+    """(3, Mr + Rr + 8, 128) i32 kernel operand (in-graph variant of the
+    host-side hoist in `parallel.sharded._pallas_host_2d`).  No seqid
+    plane: callers must pass contig-pure ranges."""
     return jnp.stack(
         [
             jax.lax.bitcast_convert_type(
                 _pad_rows_2d(mini_hash, _UMAX, Mr, Rr + 8), jnp.int32
             ),
             _pad_rows_2d(mini_wpos, _BIG, Mr, Rr + 8),
-            _pad_rows_2d(mini_seqid, _BIG, Mr, Rr + 8),
             _pad_rows_2d(mini_prev, np.int32(-_BIG), Mr, Rr + 8),
         ]
     )
@@ -351,7 +345,6 @@ def l2_chunks_pallas(
     q_sorted,  # (F, S) u32 sorted sketches, UMAX pad
     mini_hash,  # (M,) u32 position-ordered
     mini_wpos,  # (M,) i32
-    mini_seqid,  # (M,) i32
     mini_prev,  # (M,) i32 previous same-hash occurrence (see compute_mini_prev)
     chunk_frag,  # (N,) i32
     chunk_c0,  # (N,) i32
@@ -366,7 +359,9 @@ def l2_chunks_pallas(
     """Evaluate chunk curves on TPU; returns (best, first, last) (N,) i32.
 
     ``R`` must be a multiple of 1024 and at least max(chunk_rlen) + 128
-    (the extra 128 absorbs the in-row offset of the range start).
+    (the extra 128 absorbs the in-row offset of the range start).  Every
+    range ``[lo, lo + rlen)`` must lie within ONE contig's minimizer
+    block (the sharded caller clamps against the contig offsets).
     """
     if R % 1024:
         raise ValueError(f"R must be a multiple of 1024, got {R}")
@@ -377,7 +372,6 @@ def l2_chunks_pallas(
     slabs = build_pallas_slabs(
         jnp.asarray(mini_hash),
         jnp.asarray(mini_wpos, jnp.int32),
-        jnp.asarray(mini_seqid, jnp.int32),
         jnp.asarray(mini_prev, jnp.int32),
         Mr,
         Rr,

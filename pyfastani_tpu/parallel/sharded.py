@@ -397,7 +397,14 @@ def _l2_interval_scan(
         else:
             lo = jnp.searchsorted(mini_gpos, key_lo).astype(jnp.int32)
             hi = jnp.searchsorted(mini_gpos, key_hi).astype(jnp.int32)
-        rlen = jnp.where(ch_valid, hi - lo, 0)
+        # clamp each range to its contig's minimizer block (a window
+        # ending at a contig's tail can spill a few entries into the
+        # next contig's coordinates); ranges are then contig-PURE, which
+        # lets the kernel skip the per-entry seqid plane entirely
+        cof_idx = jnp.searchsorted(mini_gpos, contig_offset).astype(jnp.int32)
+        lo = jnp.maximum(lo, cof_idx[seq_c])
+        hi = jnp.minimum(hi, cof_idx[seq_c + 1])
+        rlen = jnp.where(ch_valid, jnp.maximum(hi - lo, 0), 0)
         rovf = jnp.any(rlen > R - 128)
         rlen = jnp.clip(rlen, 0, R - 128)
         clen_eff = jnp.where(ch_valid, ch_len, 0)
@@ -411,7 +418,7 @@ def _l2_interval_scan(
         else:
             Mr = max(1, -(-M // 128))
             slabs = build_pallas_slabs(
-                mini_hash, mini_wpos, mini_seqid, mini_prev, Mr, Rr
+                mini_hash, mini_wpos, mini_prev, Mr, Rr
             )
         F, S = q_sorted.shape
         Sc = max(128, -(-S // 128) * 128)
@@ -657,16 +664,16 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _pallas_host_2d(sidx: "ShardedIndex", R: int) -> np.ndarray:
-    """Host-side build of the Pallas kernel's (n, 4, rows, 128) padded
-    index slabs (hash-as-i32, wpos, seqid, prev) -- hoisted out of the
+    """Host-side build of the Pallas kernel's (n, 3, rows, 128) padded
+    index slabs (hash-as-i32, wpos, prev) -- hoisted out of the
     compiled program so each dispatch skips the multi-MB re-pad."""
     Rr = R // 128
     M = int(sidx.mini_hash.shape[1])
     Mr = max(1, -(-M // 128))
     rows = Mr + Rr + 8
-    fills = (-1, _BIG, _BIG, -_BIG)  # -1 == 0xFFFFFFFF bitcast
-    out = np.empty((sidx.n_shards, 4, rows, 128), np.int32)
-    srcs = (sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid, sidx.mini_prev)
+    fills = (-1, _BIG, -_BIG)  # -1 == 0xFFFFFFFF bitcast
+    out = np.empty((sidx.n_shards, 3, rows, 128), np.int32)
+    srcs = (sidx.mini_hash, sidx.mini_wpos, sidx.mini_prev)
     for sh in range(sidx.n_shards):
         for j, (src, fill) in enumerate(zip(srcs, fills)):
             flat = np.full(rows * 128, fill, np.int32)
@@ -1137,7 +1144,7 @@ class ShardedSession:
             arr = (
                 _pallas_host_2d(self.sidx, R)
                 if use_hoist_now
-                else np.zeros((self.n_shard, 4, 1, 128), np.int32)
+                else np.zeros((self.n_shard, 3, 1, 128), np.int32)
             )
             self._pallas_2d = _put(
                 arr,

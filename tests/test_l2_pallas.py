@@ -72,7 +72,7 @@ def test_pallas_matches_xla_event_scan(seed):
     b0, f0, l0 = l2_chunk_scan(q, s_sizes, mh, wpos, chunks, cmw, 3072)
 
     b1, f1, l1 = l2_chunks_pallas(
-        jnp.asarray(q), mh, wpos, seqid, prev,
+        jnp.asarray(q), mh, wpos, prev,
         jnp.asarray(frag), jnp.asarray(c0), jnp.asarray(clen),
         jnp.asarray(lo), jnp.asarray(rlen), jnp.asarray(cseq),
         cmw, 1024, interpret=True,
@@ -103,7 +103,7 @@ def test_pallas_empty_and_edge_chunks():
     chunks = np.stack([frag, c0, clen, lo, rlen], axis=1).astype(np.int32)
     b0, f0, l0 = l2_chunk_scan(q, s_sizes, mh, wpos, chunks, cmw, 3072)
     b1, f1, l1 = l2_chunks_pallas(
-        jnp.asarray(q), mh, wpos, seqid, prev,
+        jnp.asarray(q), mh, wpos, prev,
         jnp.asarray(frag), jnp.asarray(c0), jnp.asarray(clen),
         jnp.asarray(lo), jnp.asarray(rlen), jnp.asarray(cseq),
         cmw, 1024, interpret=True,
@@ -143,7 +143,7 @@ def test_pallas_segmented_large_n():
     chunks = np.stack([frag, c0, clen, lo, rlen], axis=1).astype(np.int32)
     b0, f0, l0 = l2_chunk_scan(q, s_sizes, mh, wpos, chunks, cmw, 1024)
     b1, f1, l1 = l2_chunks_pallas(
-        jnp.asarray(q), mh, wpos, seqid, prev,
+        jnp.asarray(q), mh, wpos, prev,
         jnp.asarray(frag), jnp.asarray(c0), jnp.asarray(clen),
         jnp.asarray(lo), jnp.asarray(rlen), jnp.asarray(cseq),
         cmw, 1024, interpret=True,
