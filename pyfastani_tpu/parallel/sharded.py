@@ -711,13 +711,15 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     cmax = overrides.get("cmax") or 3072
     # fragment sketch sizes concentrate hard around 2(l-k+1)/(w+1)
     # (measured: mean 238, std 7.6, max 266 over 3000 random 3 kb
-    # fragments at w=24), so a ~1.35x cap in 64-granularity suffices;
-    # every probe/sort/q_pad axis scales with this budget
+    # fragments at w=24).  The budget stays 128-granular: a 320-wide
+    # (2.5-vreg) sketch axis measured ~6% SLOWER end-to-end than 384 --
+    # XLA tiles non-multiple-of-128 minor dims worse than the padding
+    # it saves.
     smax = overrides.get("smax") or max(
         128,
         min(
-            _round_up(27 * (l - k + 1) // (10 * (w + 1)), 64),
-            _round_up(l - k + 1, 64),
+            _round_up(3 * l // (w + 1), 128),
+            _round_up(l - k + 1, 128),
         ),
     )
 

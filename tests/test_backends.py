@@ -122,3 +122,24 @@ def test_self_query_full_identity():
         assert len(hits) == 1
         assert hits[0].identity == 100.0
         assert hits[0].matches == hits[0].fragments == 15
+
+
+def test_query_backend_parity_draft_nucl():
+    """Multi-contig nucleotide drafts on both sides: exercises per-contig
+    global coordinates, contig-clamped L2 ranges, and multi-contig query
+    packing through the jax session."""
+    rng = np.random.default_rng(12)
+    ref_contigs = [_random_genome(rng, n) for n in (25_000, 14_000, 9_000)]
+    other = [_random_genome(rng, n) for n in (11_000, 8_000)]
+    qry = [_mutate(rng, c, 0.03) for c in ref_contigs[::-1]]
+
+    hits = {}
+    for backend in ("numpy", "jax"):
+        sk = Sketch(backend=backend)
+        sk.add_draft("ref", ref_contigs)
+        sk.add_draft("other", other)
+        mapper = sk.index()
+        hits[backend] = _hits_tuple(mapper.query_draft(qry))
+
+    assert hits["numpy"] == hits["jax"]
+    assert hits["numpy"] and hits["numpy"][0][0] == "ref"

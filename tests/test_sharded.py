@@ -260,3 +260,43 @@ def test_many_genomes_per_shard():
         ]
         for a, b in zip(hits, expected):
             assert abs(a.identity - b.identity) < 1e-3
+
+
+def test_checkpoint_without_gpos_bucket_rebuilds(tmp_path):
+    """Checkpoints predating the gpos prefix table restore cleanly: the
+    session rebuilds the table lazily and results are unchanged."""
+    from pyfastani_tpu.parallel.sharded import (
+        ShardedIndex,
+        ShardedSession,
+        build_sharded_index,
+    )
+
+    rng = np.random.default_rng(61)
+    refs = [_rand_genome(rng, n) for n in (30_000, 24_000)]
+    query = _mutate(rng, refs[0], 0.04)
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+    expected = mapper.query_genome(query)
+
+    sidx = build_sharded_index(mapper, 1)
+    sidx.gpos_bucket = None  # simulate a pre-table checkpoint
+    sidx.gpos_shift = 0
+    sidx.gpos_steps = 0
+    path = str(tmp_path / "old_index")
+    sidx.save(path)
+    restored = ShardedIndex.load(path)
+    assert restored.gpos_bucket is None
+
+    sess = ShardedSession.from_index(
+        restored, mesh=make_mesh(1, 1),
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64,
+        smax=256,
+    )
+    assert sess.sidx.gpos_bucket is not None and sess.sidx.gpos_steps >= 1
+    got = sess.query([query])
+    assert [(h.name, h.matches, h.fragments) for h in got] == [
+        (h.name, h.matches, h.fragments) for h in expected
+    ]
