@@ -189,7 +189,10 @@ def _kernel(
         def _t(x_f32):  # (Rr, 128) f32 -> (128, Rr)
             # HIGHEST: full-f32 multi-pass on the MXU.  The default
             # single-pass bf16 truncates the 17-24 bit integer positions
-            # and silently corrupts every comparison downstream.
+            # and silently corrupts every comparison downstream.  (An
+            # 11-dot byte-split at DEFAULT precision and the same
+            # exactness benchmarked within noise of this, so the simpler
+            # form stays; Mosaic cannot lower Precision.HIGH in-kernel.)
             return jax.lax.dot_general(
                 ident, x_f32, dn, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
