@@ -111,12 +111,10 @@ def _kernel(
     first_ref,  # (N,) i32
     last_ref,  # (N,) i32
     # scratch
-    rh_s,  # (Rr, 128) i32 (hash bits)
-    rp_s,  # (Rr, 128) i32
-    rv_s,  # (Rr, 128) i32
+    s3,  # (3, Rr, 128) i32: [hash bits, wpos, prev] -- ONE DMA fills all
     q_s,  # (8, Sc) u32
     acc_s,  # (Rr, 128) i32 stabbing-count accumulator
-    sem,  # DMA semaphores (5,)
+    sem,  # DMA semaphores (2,)
     *,
     Rr: int,
     Sc: int,
@@ -146,24 +144,19 @@ def _kernel(
 
     @pl.when((rlen > 0) & (clen > 0))
     def _live():
-        cp_h = pltpu.make_async_copy(
-            slabs_ref.at[0, pl.ds(row, Rr)], rh_s, sem.at[0]
+        # one DMA covers all three minimizer planes (the issue/wait
+        # overhead of separate per-plane copies is paid per grid step)
+        cp_m = pltpu.make_async_copy(
+            slabs_ref.at[:, pl.ds(row, Rr)], s3, sem.at[0]
         )
-        cp_p = pltpu.make_async_copy(
-            slabs_ref.at[1, pl.ds(row, Rr)], rp_s, sem.at[1]
-        )
-        cp_v = pltpu.make_async_copy(
-            slabs_ref.at[2, pl.ds(row, Rr)], rv_s, sem.at[2]
-        )
-        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[3])
-        cp_h.start()
-        cp_p.start()
-        cp_v.start()
+        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[1])
+        cp_m.start()
         cp_q.start()
-        cp_h.wait()
-        cp_p.wait()
-        cp_v.wait()
+        cp_m.wait()
         cp_q.wait()
+        rh_s = s3.at[0]
+        rp_s = s3.at[1]
+        rv_s = s3.at[2]
 
         flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
             jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
@@ -300,12 +293,10 @@ def _l2_pallas_impl(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.VMEM((Rr, 128), jnp.int32),
+            pltpu.VMEM((3, Rr, 128), jnp.int32),
             pltpu.VMEM((8, Sc), jnp.uint32),
             pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
