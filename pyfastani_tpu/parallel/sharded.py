@@ -19,9 +19,10 @@ Positions use a 32-bit *global* coordinate (per-shard cumulative contig
 offsets) so index probes need no 64-bit keys on device.
 
 Integer outputs (matches/fragments) equal the host engine when the static
-budgets suffice; overflow is detected and reported.  Identities are
-device float32 sums and agree with the host path to summation-order
-rounding.
+budgets suffice; overflow is detected and reported.  Identities
+accumulate as exact fixed-point integers (`_engine_np.mean_identity`),
+so the per-genome float32 means are bitwise-identical to the host
+engine regardless of reduction order or mesh shape.
 """
 
 from __future__ import annotations
