@@ -210,7 +210,12 @@ def main():
         ava_hits=hits_total,
     )
 
-    detail["vs_self_cpu"] = round(mbp_s / detail["cpu_mbp_s"], 2)
+    # NOT a CPU-FastANI comparison: the denominator is this repo's own
+    # NumPy *spec* engine (the semantic oracle, ~5x slower than the
+    # reference's single-thread Cython).  The official denominator for
+    # the >=10x north star is multithreaded CPU FastANI -- 4.3 Mbp/s
+    # @12T published (BASELINE.md) -- which `vs_baseline` reports.
+    detail["vs_self_numpy_spec"] = round(mbp_s / detail["cpu_mbp_s"], 2)
     result = {
         "metric": "query_throughput",
         "value": round(mbp_s, 3),

@@ -616,6 +616,419 @@ static PyObject *py_parse_fasta(PyObject *self, PyObject *args) {
     return records;
 }
 
+/* ------------------------------------------------------------------ */
+/* sort_u32_perm: stable permutation sort of uint32 keys.
+ *
+ * The index build sorts the minimizer stream by hash (CSR construction,
+ * _engine_np.build_index) and again lexicographically for the
+ * previous-occurrence table (l2_pallas.compute_mini_prev).  Because the
+ * minimizer stream arrives position-ordered, ONE stable sort by hash
+ * yields both orders -- and a threaded LSD radix sort is ~10x cheaper
+ * than np.argsort(kind="stable") at the 56M-minimizer bench scale.
+ *
+ * 4 passes of 8-bit counting sort over (key, idx) pairs; two threads
+ * split the element range, with stable cross-thread bucket offsets
+ * (thread 0's members of a bucket precede thread 1's).            */
+
+typedef struct { uint32_t key; int32_t idx; } kv_t;
+
+#define RAD_NT 2 /* this box has 2 cores */
+
+typedef struct {
+    const kv_t *src;
+    kv_t *dst;
+    size_t lo, hi;
+    size_t hist[256];
+    size_t offs[256];
+    int shift;
+} radpass_t;
+
+static void *rad_hist(void *arg) {
+    radpass_t *rp = (radpass_t *)arg;
+    memset(rp->hist, 0, sizeof(rp->hist));
+    const int sh = rp->shift;
+    for (size_t i = rp->lo; i < rp->hi; i++)
+        rp->hist[(rp->src[i].key >> sh) & 0xFF]++;
+    return NULL;
+}
+
+static void *rad_scat(void *arg) {
+    radpass_t *rp = (radpass_t *)arg;
+    const int sh = rp->shift;
+    for (size_t i = rp->lo; i < rp->hi; i++) {
+        const kv_t e = rp->src[i];
+        rp->dst[rp->offs[(e.key >> sh) & 0xFF]++] = e;
+    }
+    return NULL;
+}
+
+typedef struct {
+    const uint32_t *keys;
+    kv_t *out;
+    size_t lo, hi;
+} radfill_t;
+
+static void *rad_fill(void *arg) {
+    radfill_t *rf = (radfill_t *)arg;
+    for (size_t i = rf->lo; i < rf->hi; i++) {
+        rf->out[i].key = rf->keys[i];
+        rf->out[i].idx = (int32_t)i;
+    }
+    return NULL;
+}
+
+static PyObject *py_sort_u32_perm(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+    if (buf.len % 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "buffer length must be 4-aligned");
+        return NULL;
+    }
+    size_t n = (size_t)buf.len / 4;
+    if (n > (size_t)INT32_MAX) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "more than 2^31 keys");
+        return NULL;
+    }
+    PyObject *res = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 4));
+    if (!res) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    if (n == 0) {
+        PyBuffer_Release(&buf);
+        return res;
+    }
+    const uint32_t *keys = (const uint32_t *)buf.buf;
+    int32_t *perm = (int32_t *)PyBytes_AS_STRING(res);
+    kv_t *a = (kv_t *)malloc(n * sizeof(kv_t));
+    kv_t *b = (kv_t *)malloc(n * sizeof(kv_t));
+    if (!a || !b) {
+        free(a); free(b);
+        PyBuffer_Release(&buf);
+        Py_DECREF(res);
+        return PyErr_NoMemory();
+    }
+    Py_BEGIN_ALLOW_THREADS
+    {
+        size_t cut = (n / 2) & ~(size_t)7;
+        radfill_t rf[RAD_NT] = {{keys, a, 0, cut}, {keys, a, cut, n}};
+        pthread_t th;
+        if (n > (1 << 16) && pthread_create(&th, NULL, rad_fill, &rf[1]) == 0) {
+            rad_fill(&rf[0]);
+            pthread_join(th, NULL);
+        } else {
+            rf[0].hi = n;
+            rad_fill(&rf[0]);
+        }
+        kv_t *src = a, *dst = b;
+        for (int shift = 0; shift < 32; shift += 8) {
+            radpass_t rp[RAD_NT];
+            for (int t = 0; t < RAD_NT; t++) {
+                rp[t].src = src;
+                rp[t].dst = dst;
+                rp[t].lo = t == 0 ? 0 : cut;
+                rp[t].hi = t == 0 ? cut : n;
+                rp[t].shift = shift;
+            }
+            int threaded = n > (1 << 16) &&
+                pthread_create(&th, NULL, rad_hist, &rp[1]) == 0;
+            if (!threaded)
+                rad_hist(&rp[1]); /* memsets hist; loops 0..0 when empty */
+            rad_hist(&rp[0]);
+            if (threaded)
+                pthread_join(th, NULL);
+            /* stable global offsets: bucket-major, then thread-major */
+            size_t run = 0;
+            for (int d = 0; d < 256; d++)
+                for (int t = 0; t < RAD_NT; t++) {
+                    rp[t].offs[d] = run;
+                    run += rp[t].hist[d];
+                }
+            threaded = threaded &&
+                pthread_create(&th, NULL, rad_scat, &rp[1]) == 0;
+            rad_scat(&rp[0]);
+            if (threaded)
+                pthread_join(th, NULL);
+            else
+                rad_scat(&rp[1]);
+            kv_t *tmp = src; src = dst; dst = tmp;
+        }
+        /* after an even number of passes the result is back in `src` */
+        for (size_t i = 0; i < n; i++)
+            perm[i] = src[i].idx;
+    }
+    Py_END_ALLOW_THREADS
+    free(a);
+    free(b);
+    PyBuffer_Release(&buf);
+    return res;
+}
+
+/* take32: out[i] = values[idx[i]] for 4-byte elements, threaded.
+ * The index build permutes three 4-byte arrays by the sort order; numpy
+ * fancy indexing is single-threaded and allocation-bound here. */
+typedef struct {
+    const uint32_t *vals;
+    const int32_t *idx;
+    uint32_t *out;
+    size_t lo, hi;
+} takejob_t;
+
+static void *take_job(void *arg) {
+    takejob_t *tj = (takejob_t *)arg;
+    for (size_t i = tj->lo; i < tj->hi; i++)
+        tj->out[i] = tj->vals[tj->idx[i]];
+    return NULL;
+}
+
+static PyObject *py_take32(PyObject *self, PyObject *args) {
+    Py_buffer vals, idx;
+    if (!PyArg_ParseTuple(args, "y*y*", &vals, &idx))
+        return NULL;
+    if (vals.len % 4 || idx.len % 4) {
+        PyBuffer_Release(&vals);
+        PyBuffer_Release(&idx);
+        PyErr_SetString(PyExc_ValueError, "buffers must be 4-aligned");
+        return NULL;
+    }
+    size_t n = (size_t)idx.len / 4;
+    size_t nv = (size_t)vals.len / 4;
+    const int32_t *ix = (const int32_t *)idx.buf;
+    for (size_t i = 0; i < n; i++)
+        if ((uint32_t)ix[i] >= nv) {
+            PyBuffer_Release(&vals);
+            PyBuffer_Release(&idx);
+            PyErr_SetString(PyExc_IndexError, "take32 index out of range");
+            return NULL;
+        }
+    PyObject *res = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 4));
+    if (!res) {
+        PyBuffer_Release(&vals);
+        PyBuffer_Release(&idx);
+        return NULL;
+    }
+    takejob_t tj0 = {(const uint32_t *)vals.buf, ix,
+                     (uint32_t *)PyBytes_AS_STRING(res), 0, n / 2};
+    takejob_t tj1 = {(const uint32_t *)vals.buf, ix,
+                     (uint32_t *)PyBytes_AS_STRING(res), n / 2, n};
+    Py_BEGIN_ALLOW_THREADS
+    {
+        pthread_t th;
+        if (n > (1 << 16) && pthread_create(&th, NULL, take_job, &tj1) == 0) {
+            take_job(&tj0);
+            pthread_join(th, NULL);
+        } else {
+            tj0.hi = n;
+            take_job(&tj0);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&vals);
+    PyBuffer_Release(&idx);
+    return res;
+}
+
+/* csr_bounds: group boundaries of an ascending u32 key array.
+ * Returns (uniq_hash u32[U], row_start i32[U], row_len i32[U]) -- the
+ * CSR skeleton of the posting index -- in two threaded passes.     */
+typedef struct {
+    const uint32_t *keys;
+    size_t lo, hi;   /* element range */
+    size_t count;    /* boundaries found in range */
+    uint32_t *uq;    /* output slices (pass 2) */
+    int32_t *rs;
+} csrjob_t;
+
+static void *csr_count(void *arg) {
+    csrjob_t *cj = (csrjob_t *)arg;
+    size_t c = 0;
+    const uint32_t *k = cj->keys;
+    for (size_t i = cj->lo; i < cj->hi; i++)
+        c += (i == 0) || (k[i] != k[i - 1]);
+    cj->count = c;
+    return NULL;
+}
+
+static void *csr_fill(void *arg) {
+    csrjob_t *cj = (csrjob_t *)arg;
+    const uint32_t *k = cj->keys;
+    size_t o = 0;
+    for (size_t i = cj->lo; i < cj->hi; i++)
+        if (i == 0 || k[i] != k[i - 1]) {
+            cj->uq[o] = k[i];
+            cj->rs[o] = (int32_t)i;
+            o++;
+        }
+    return NULL;
+}
+
+static PyObject *py_csr_bounds(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf))
+        return NULL;
+    if (buf.len % 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "buffer must be 4-aligned");
+        return NULL;
+    }
+    size_t n = (size_t)buf.len / 4;
+    const uint32_t *keys = (const uint32_t *)buf.buf;
+    size_t cut = n / 2;
+    csrjob_t cj0 = {keys, 0, cut, 0, NULL, NULL};
+    csrjob_t cj1 = {keys, cut, n, 0, NULL, NULL};
+    Py_BEGIN_ALLOW_THREADS
+    {
+        pthread_t th;
+        if (n > (1 << 16) && pthread_create(&th, NULL, csr_count, &cj1) == 0) {
+            csr_count(&cj0);
+            pthread_join(th, NULL);
+        } else {
+            cj0.hi = n;
+            csr_count(&cj0);
+            cj1.lo = cj1.hi = n;
+            cj1.count = 0;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    size_t u = cj0.count + cj1.count;
+    PyObject *uq_b = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(u * 4));
+    PyObject *rs_b = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(u * 4));
+    PyObject *rl_b = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(u * 4));
+    if (!uq_b || !rs_b || !rl_b) {
+        Py_XDECREF(uq_b); Py_XDECREF(rs_b); Py_XDECREF(rl_b);
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    uint32_t *uq = (uint32_t *)PyBytes_AS_STRING(uq_b);
+    int32_t *rs = (int32_t *)PyBytes_AS_STRING(rs_b);
+    int32_t *rl = (int32_t *)PyBytes_AS_STRING(rl_b);
+    cj0.uq = uq; cj0.rs = rs;
+    cj1.uq = uq + cj0.count; cj1.rs = rs + cj0.count;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        pthread_t th;
+        int threaded = cj1.hi > cj1.lo &&
+            pthread_create(&th, NULL, csr_fill, &cj1) == 0;
+        csr_fill(&cj0);
+        if (threaded)
+            pthread_join(th, NULL);
+        else if (cj1.hi > cj1.lo)
+            csr_fill(&cj1);
+        for (size_t i = 0; i + 1 < u; i++)
+            rl[i] = rs[i + 1] - rs[i];
+        if (u)
+            rl[u - 1] = (int32_t)n - rs[u - 1];
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf);
+    PyObject *res = PyTuple_Pack(3, uq_b, rs_b, rl_b);
+    Py_DECREF(uq_b); Py_DECREF(rs_b); Py_DECREF(rl_b);
+    return res;
+}
+
+/* hist_prefix: histogram of (keys >> shift), threaded.
+ * Returns i32[nbins] counts; keys whose shifted value >= nbins are
+ * dropped (caller sizes nbins to cover the range).                 */
+typedef struct {
+    const uint32_t *keys;
+    size_t lo, hi;
+    int shift;
+    size_t nbins;
+    int32_t *hist; /* per-thread buffer */
+} histjob_t;
+
+static void *hist_job(void *arg) {
+    histjob_t *hj = (histjob_t *)arg;
+    memset(hj->hist, 0, hj->nbins * sizeof(int32_t));
+    for (size_t i = hj->lo; i < hj->hi; i++) {
+        size_t b = hj->keys[i] >> hj->shift;
+        if (b < hj->nbins)
+            hj->hist[b]++;
+    }
+    return NULL;
+}
+
+static PyObject *py_hist_prefix(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    int shift, bits;
+    if (!PyArg_ParseTuple(args, "y*ii", &buf, &shift, &bits))
+        return NULL;
+    if (buf.len % 4 || shift < 0 || shift > 31 || bits < 1 || bits > 26) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "bad arguments");
+        return NULL;
+    }
+    size_t n = (size_t)buf.len / 4;
+    size_t nbins = (size_t)1 << bits;
+    PyObject *res = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(nbins * 4));
+    if (!res) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    int32_t *out = (int32_t *)PyBytes_AS_STRING(res);
+    int32_t *tmp = (int32_t *)malloc(nbins * sizeof(int32_t));
+    if (!tmp) {
+        Py_DECREF(res);
+        PyBuffer_Release(&buf);
+        return PyErr_NoMemory();
+    }
+    histjob_t h0 = {(const uint32_t *)buf.buf, 0, n / 2, shift, nbins, out};
+    histjob_t h1 = {(const uint32_t *)buf.buf, n / 2, n, shift, nbins, tmp};
+    Py_BEGIN_ALLOW_THREADS
+    {
+        pthread_t th;
+        if (n > (1 << 16) && pthread_create(&th, NULL, hist_job, &h1) == 0) {
+            hist_job(&h0);
+            pthread_join(th, NULL);
+            for (size_t b = 0; b < nbins; b++)
+                out[b] += tmp[b];
+        } else {
+            h0.hi = n;
+            hist_job(&h0);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    free(tmp);
+    PyBuffer_Release(&buf);
+    return res;
+}
+
+/* max_window_count(sorted_i32, window): the densest half-open window
+ * [v, v + window) of an ascending i32 array, via one two-pointer pass
+ * (replaces a 26-round vectorized binary search at bench scale). */
+static PyObject *py_max_window_count(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    long long window;
+    if (!PyArg_ParseTuple(args, "y*L", &buf, &window))
+        return NULL;
+    if (buf.len % 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "buffer must be 4-aligned");
+        return NULL;
+    }
+    size_t n = (size_t)buf.len / 4;
+    const int32_t *v = (const int32_t *)buf.buf;
+    size_t best = 0;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        size_t j = 0;
+        for (size_t i = 0; i < n; i++) {
+            if (j < i)
+                j = i;
+            while (j < n && (long long)v[j] < (long long)v[i] + window)
+                j++;
+            if (j - i > best)
+                best = j - i;
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&buf);
+    return PyLong_FromSize_t(best);
+}
+
 static PyMethodDef Methods[] = {
     {"parse_fasta", py_parse_fasta, METH_VARARGS,
      "parse_fasta(path) -> list of (id, uppercased seq bytes)"},
@@ -627,6 +1040,16 @@ static PyMethodDef Methods[] = {
      "murmur3_32(data, seed=42) -> uint32 hash"},
     {"winnow", py_winnow, METH_VARARGS,
      "winnow(data, k, w, protein=False) -> (hashes_u32_bytes, wpos_i32_bytes)"},
+    {"sort_u32_perm", py_sort_u32_perm, METH_VARARGS,
+     "sort_u32_perm(u32_bytes) -> i32_bytes stable sort permutation"},
+    {"take32", py_take32, METH_VARARGS,
+     "take32(vals_4byte_bytes, idx_i32_bytes) -> vals[idx] bytes"},
+    {"csr_bounds", py_csr_bounds, METH_VARARGS,
+     "csr_bounds(sorted_u32_bytes) -> (uniq u32, row_start i32, row_len i32)"},
+    {"hist_prefix", py_hist_prefix, METH_VARARGS,
+     "hist_prefix(u32_bytes, shift, bits) -> i32[2^bits] counts"},
+    {"max_window_count", py_max_window_count, METH_VARARGS,
+     "max_window_count(sorted_i32_bytes, window) -> densest-window count"},
     {NULL, NULL, 0, NULL}
 };
 

@@ -82,6 +82,13 @@ class PostingIndex:
     # bumped on every live posting edit (set/delete_posting_row) so cached
     # device copies of the index (Mapper's lazy ShardedSession) invalidate
     version: int = 0
+    # stable permutation from position order to hash order (the sort that
+    # built the CSR).  Because the minimizer store is position-ordered,
+    # this single order is also (hash, seqid, wpos)-lexicographic, which
+    # gives the previous-occurrence table without a second sort
+    # (`mini_prev_from_index`).  None on indexes rebuilt through live
+    # posting edits.
+    order: np.ndarray = None  # i32 (M,)
 
     @property
     def n_minimizers(self) -> int:
@@ -105,7 +112,11 @@ def compute_freq_threshold(row_len: np.ndarray) -> int:
     to_ignore = int(
         np.float32(np.float32(total_unique) * np.float32(0.001) / np.float32(100.0))
     )
-    freqs, counts = np.unique(row_len, return_counts=True)
+    # row lengths are small positive ints: bincount beats np.unique's
+    # sort at bench scale (31M rows)
+    bc = np.bincount(row_len)
+    freqs = np.flatnonzero(bc)
+    counts = bc[freqs]
     threshold = INT_MAX
     acc = 0
     for f, c in zip(freqs[::-1], counts[::-1]):
@@ -124,24 +135,17 @@ def build_index(
     mini_hash: np.ndarray, mini_seqid: np.ndarray, mini_wpos: np.ndarray
 ) -> PostingIndex:
     """Sort-based CSR construction of the posting index."""
-    order = np.argsort(mini_hash, kind="stable")
-    sorted_hash = mini_hash[order]
-    post_seqid = mini_seqid[order]
-    post_wpos = mini_wpos[order]
-    # group boundaries on the already-sorted array (np.unique would sort again)
-    n = sorted_hash.shape[0]
-    if n:
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        np.not_equal(sorted_hash[1:], sorted_hash[:-1], out=new[1:])
-        first_idx = np.flatnonzero(new)
-        uniq_hash = sorted_hash[first_idx].astype(np.uint32)
-        row_start = first_idx.astype(np.int64)
-        row_len = np.diff(np.append(first_idx, n)).astype(np.int32)
-    else:
-        uniq_hash = np.zeros(0, np.uint32)
-        row_start = np.zeros(0, np.int64)
-        row_len = np.zeros(0, np.int32)
+    from .. import _native
+
+    order = _native.argsort_u32_stable(mini_hash)
+    sorted_hash = _native.take_4byte(np.asarray(mini_hash, np.uint32), order)
+    post_seqid = _native.take_4byte(np.asarray(mini_seqid, np.int32), order)
+    post_wpos = _native.take_4byte(np.asarray(mini_wpos, np.int32), order)
+    # group boundaries on the already-sorted array (np.unique would sort
+    # again); int64 row starts so the live posting-edit arithmetic
+    # (`set_posting_row`) keeps its historical dtype
+    uniq_hash, row_start32, row_len = _native.csr_groups(sorted_hash)
+    row_start = row_start32.astype(np.int64)
     hash_bucket, bucket_steps = build_hash_bucket(uniq_hash)
     return PostingIndex(
         mini_hash=mini_hash,
@@ -155,6 +159,7 @@ def build_index(
         freq_threshold=compute_freq_threshold(row_len),
         hash_bucket=hash_bucket,
         bucket_steps=bucket_steps,
+        order=np.asarray(order, np.int32),
     )
 
 
@@ -169,22 +174,55 @@ def build_hash_bucket(uniq_hash: np.ndarray, bits: int | None = None):
 
     Returns (hash_bucket (2^bits + 1,) i32, bucket_steps).
     """
+    # one 24-bit-prefix histogram serves every candidate width: a width-b
+    # table's bucket sizes are 2^(24-b)-group sums of it, and the table
+    # itself is the cumulative sum (uniq_hash is ascending).  This
+    # replaces up to nine 31M-element searchsorted passes at bench scale.
+    u = int(uniq_hash.shape[0])
+    if u < (1 << 20):
+        # small index: searchsorted on the array directly.  Live posting
+        # edits (`set_posting_row`/`delete_posting_row`) rebuild this
+        # table per edit, so the small path must stay O(u log u) -- the
+        # 16M-bin histogram below would turn an edit loop quadratic.
+        if bits is None:
+            bits = 16
+            while bits < 24:
+                shift = np.uint32(32 - bits)
+                high = (uniq_hash >> shift).astype(np.int64)
+                hb = np.searchsorted(high, np.arange((1 << bits) + 1))
+                if int(np.diff(hb).max(initial=0)) <= 48 or (1 << bits) >= 4 * u:
+                    break
+                bits += 1
+        shift = np.uint32(32 - bits)
+        high = (uniq_hash >> shift).astype(np.int64)
+        hash_bucket = np.searchsorted(
+            high, np.arange((1 << bits) + 1)
+        ).astype(np.int32)
+        max_bucket = int(np.diff(hash_bucket).max(initial=0))
+        bucket_steps = (
+            max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
+        )
+        return hash_bucket, bucket_steps
+
+    from .. import _native
+
+    # bench-scale index: one threaded 24-bit-prefix histogram serves every
+    # candidate width (coarser levels by halving), and the table itself is
+    # its cumulative sum -- no 31M-element searchsorted passes
+    hist24 = _native.prefix_hist(uniq_hash, 8, 24)
+    levels = {24: hist24}
+    for b in range(23, 15, -1):
+        levels[b] = levels[b + 1].reshape(-1, 2).sum(axis=1, dtype=np.int32)
     if bits is None:
-        u = int(uniq_hash.shape[0])
         bits = 16
         while bits < 24:  # <= 64 MB table; a 36M-row index needs 24
-            shift = np.uint32(32 - bits)
-            high = (uniq_hash >> shift).astype(np.int64)
-            hb = np.searchsorted(high, np.arange((1 << bits) + 1))
-            if int(np.diff(hb).max(initial=0)) <= 48 or (1 << bits) >= 4 * u:
+            if int(levels[bits].max(initial=0)) <= 48 or (1 << bits) >= 4 * u:
                 break
             bits += 1
-    shift = np.uint32(32 - bits)
-    high = (uniq_hash >> shift).astype(np.int64)
-    hash_bucket = np.searchsorted(high, np.arange((1 << bits) + 1)).astype(
-        np.int32
-    )
-    max_bucket = int(np.diff(hash_bucket).max(initial=0))
+    agg = levels[bits]
+    hash_bucket = np.zeros((1 << bits) + 1, np.int32)
+    np.cumsum(agg, out=hash_bucket[1:], dtype=np.int32)
+    max_bucket = int(agg.max(initial=0))
     bucket_steps = max(1, int(np.ceil(np.log2(max_bucket + 1)))) if max_bucket else 1
     return hash_bucket, bucket_steps
 
@@ -193,6 +231,9 @@ def _rebuild_bucket(index: PostingIndex) -> None:
     """Recompute the prefix-bucket table after a posting edit."""
     index.hash_bucket, index.bucket_steps = build_hash_bucket(index.uniq_hash)
     index.version += 1
+    # the CSR sort permutation no longer describes the edited postings;
+    # downstream consumers (mini_prev_from_index) fall back to a lexsort
+    index.order = None
 
 
 def set_posting_row(

@@ -59,7 +59,7 @@ _configure_jax()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["l2_chunks_pallas", "compute_mini_prev"]
+__all__ = ["l2_chunks_pallas", "compute_mini_prev", "mini_prev_from_index"]
 
 _UMAX = np.uint32(0xFFFFFFFF)
 _BIG = np.int32(2**30)
@@ -84,6 +84,33 @@ def compute_mini_prev(
     prev = np.full(m, -_BIG, np.int32)
     same = (h[1:] == h[:-1]) & (s[1:] == s[:-1])
     prev[1:][same] = p[:-1][same]
+    out = np.empty(m, np.int32)
+    out[order] = prev
+    return out
+
+
+def mini_prev_from_index(sub) -> np.ndarray:
+    """`compute_mini_prev` without the lexsort, from a `PostingIndex`
+    whose CSR sort permutation was retained (``sub.order``).
+
+    The posting arrays are the minimizer store in (hash, seqid, wpos)
+    order (a stable hash sort of a position-ordered stream), so the
+    previous same-hash-same-contig occurrence is just the preceding
+    posting entry when no CSR row boundary or contig change intervenes.
+    Falls back to `compute_mini_prev` when the permutation is absent
+    (e.g. an index rebuilt through live posting edits).
+    """
+    m = int(sub.mini_hash.shape[0])
+    if m == 0:
+        return np.zeros(0, np.int32)
+    order = getattr(sub, "order", None)
+    if order is None or order.shape[0] != m or sub.post_seqid.shape[0] != m:
+        return compute_mini_prev(sub.mini_hash, sub.mini_seqid, sub.mini_wpos)
+    newrow = np.zeros(m, bool)
+    newrow[np.asarray(sub.row_start, dtype=np.int64)] = True
+    same = ~newrow[1:] & (sub.post_seqid[1:] == sub.post_seqid[:-1])
+    prev = np.full(m, -_BIG, np.int32)
+    prev[1:][same] = sub.post_wpos[:-1][same]
     out = np.empty(m, np.int32)
     out[order] = prev
     return out

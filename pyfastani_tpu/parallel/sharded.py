@@ -43,7 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import stats
 from ..ops.l1 import l1_candidates_device
 from ..ops.l2 import l2_event_curve
-from ..ops.l2_pallas import compute_mini_prev
+from ..ops.l2_pallas import mini_prev_from_index
 
 __all__ = ["ShardedIndex", "ShardedSession", "build_sharded_index", "sharded_query"]
 
@@ -177,15 +177,16 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
     sbf = np.asarray(mapper._sequences_by_file, dtype=np.int64)
     n_genomes = len(mapper._names)
     contig_lo = np.concatenate([[0], sbf[:-1]])
-    genome_of_mini = np.searchsorted(sbf, idx.mini_seqid, side="right")
-    counts = np.bincount(genome_of_mini, minlength=n_genomes)
+    if n_shards > 1:  # the 1-shard fast path never partitions by genome
+        genome_of_mini = np.searchsorted(sbf, idx.mini_seqid, side="right")
+        counts = np.bincount(genome_of_mini, minlength=n_genomes)
 
-    shard_of = np.zeros(n_genomes, dtype=np.int64)
-    loads = np.zeros(n_shards, dtype=np.int64)
-    for g in np.argsort(-counts, kind="stable"):
-        tgt = int(np.argmin(loads))
-        shard_of[g] = tgt
-        loads[tgt] += counts[g]
+        shard_of = np.zeros(n_genomes, dtype=np.int64)
+        loads = np.zeros(n_shards, dtype=np.int64)
+        for g in np.argsort(-counts, kind="stable"):
+            tgt = int(np.argmin(loads))
+            shard_of[g] = tgt
+            loads[tgt] += counts[g]
 
     shards = []
     if n_shards == 1:
@@ -231,9 +232,19 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
 
     def pad2(arrs, fill, dtype, min_width=1):
         width = max(max((a.shape[0] for a in arrs), default=1), min_width)
-        out = np.full((n_shards, width), fill, dtype=dtype)
+        if (
+            n_shards == 1
+            and len(arrs) == 1
+            and arrs[0].shape[0] == width
+            and arrs[0].dtype == np.dtype(dtype)
+        ):
+            # bench-scale indexes are hundreds of MB per array: return a
+            # (1, width) view instead of an allocate+copy pass
+            return np.ascontiguousarray(arrs[0])[None]
+        out = np.empty((n_shards, width), dtype=dtype)
         for i, a in enumerate(arrs):
             out[i, : a.shape[0]] = a
+            out[i, a.shape[0] :] = fill
         return out
 
     subs = [s[0] for s in shards]
@@ -256,9 +267,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
             else np.zeros(0, np.int32)
         )
 
-    prev = [
-        compute_mini_prev(s.mini_hash, s.mini_seqid, s.mini_wpos) for s in subs
-    ]
+    prev = [mini_prev_from_index(s) for s in subs]
 
     # bucket tables must share a width across shards (they stack into one
     # (n, 2^bits+1) array); rebuild every shard's at the widest choice
@@ -726,23 +735,24 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
 
     rmax = overrides.get("rmax")
     if not rmax:
+        from .. import _native
+
         window = cmax + cmw
         worst = 1
         for sh in range(sidx.n_shards):
-            gpos = sidx.mini_gpos[sh].astype(np.int64)
-            m_real = int(np.searchsorted(gpos, np.int64(_BIG) - 1))
+            gpos = sidx.mini_gpos[sh]
+            m_real = int(np.searchsorted(gpos, np.int32(_BIG - 1)))
             if m_real == 0:
                 continue
-            g = gpos[:m_real]
-            hi = np.searchsorted(g, g + window, side="left")
-            worst = max(worst, int((hi - np.arange(m_real)).max()))
+            # exact densest cmax+cmw window, one two-pointer C pass
+            worst = max(worst, _native.densest_window(gpos[:m_real], window))
         # coarse 512 quantization: near-identical workloads (e.g. two
         # synthetic batches of the same genome family) land on the same
         # compiled program / persistent-cache entry
         rmax = min(_round_up(worst + 8, 512), 8192)
 
     n_post = sum(
-        int(np.searchsorted(sidx.mini_gpos[sh].astype(np.int64), np.int64(_BIG) - 1))
+        int(np.searchsorted(sidx.mini_gpos[sh], np.int32(_BIG - 1)))
         for sh in range(sidx.n_shards)
     )
     n_uniq = int((sidx.uniq_hash != np.uint32(0xFFFFFFFF)).sum())
@@ -1200,9 +1210,10 @@ class ShardedSession:
         fn = self._get_fn()
         self.stats["dispatches"] += 1
         d_frags = _put(frags, NamedSharding(self.mesh, P("data", None)))
+        d_qg = _put(frag_qg, NamedSharding(self.mesh, P("data")))
         handles = fn(
             d_frags,
-            _put(frag_qg, NamedSharding(self.mesh, P("data"))),
+            d_qg,
             _put(
                 np.zeros(self._epoch + 1, np.int32),
                 NamedSharding(self.mesh, P()),
@@ -1212,7 +1223,7 @@ class ShardedSession:
             self._pallas_2d,
             self._gpos_bucket_dev,
         )
-        return d_frags, handles, row, Fcap
+        return (d_frags, d_qg), handles, row, Fcap
 
     def _run_groups(self, per_genome, groups):
         """Pipeline every dispatch group through the device; on a static
@@ -1228,12 +1239,15 @@ class ShardedSession:
             for g_i, group in enumerate(groups):
                 slot = g_i % 2
                 if slot in prev_in:
-                    # the h2d from this buffer must land before overwrite
-                    prev_in[slot].block_until_ready()
-                d_frags, handles, row, Fcap = self._submit_group(
+                    # the h2d of BOTH staged arrays (fragments and their
+                    # query-genome assignment) must land before the slot's
+                    # host buffers are overwritten
+                    for d in prev_in[slot]:
+                        d.block_until_ready()
+                d_in, handles, row, Fcap = self._submit_group(
                     per_genome, group, slot
                 )
-                prev_in[slot] = d_frags
+                prev_in[slot] = d_in
                 pending.append((group, handles, row, Fcap))
 
             out = []
@@ -1255,10 +1269,22 @@ class ShardedSession:
                     ovf_acc, np.asarray(ovf).max(axis=0)
                 )  # (5,) over shards
                 # exact fixed-point identity total (see block_fn)
+                counts = np.asarray(counts)
                 isum_q17 = np.asarray(isum_hi).astype(np.int64) * 4096 + (
                     np.asarray(isum_lo)
                 )
-                out.append((group, np.asarray(counts), isum_q17, row, Fcap))
+                # the on-device genome fold accumulates 12-bit identity
+                # limbs in int32: the hi limb is <= 32 per occupied bin,
+                # so the fold is exact while a genome holds < 2^31/32
+                # occupied bins (~200 Gbp of matched sequence at l=3000).
+                # `counts` (bins per genome) cannot itself overflow at
+                # that scale, so it is a sound host-side guard.
+                if counts.size and int(counts.max()) > 60_000_000:
+                    raise RuntimeError(
+                        "per-genome mapped-fragment count exceeds the "
+                        "int32-exact range of the device identity fold"
+                    )
+                out.append((group, counts, isum_q17, row, Fcap))
             if not ovf_acc.any():
                 for group, _, _, row, Fcap in out:
                     # per-logical-query fragment counters (dispatches

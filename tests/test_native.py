@@ -55,3 +55,32 @@ def test_parser_no_leading_header(tmp_path):
     path = tmp_path / "bad.fa"
     path.write_text("ACGT\n>a\nACGT\n")
     assert list(Parser(str(path))) == []
+
+
+def test_winnow_two_segment_parity():
+    """The native winnow's two-segment path (mid-sequence rule + phantom
+    stitch + threaded hash pass, fastamod.c) only activates at
+    P >= 2^20 windows; exercise it against the oracle-validated numpy
+    winnow on multi-Mbp inputs, including a poly-A prefix long enough
+    that the window-0 phantom's reign spans the segment seam."""
+    from pyfastani_tpu.models._engine_np import winnow_sequence
+    from pyfastani_tpu.models._params import Parameters
+
+    k, w = 16, 24
+    params = Parameters(kmer_size=k, window_size=w)
+    rng = np.random.default_rng(97)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    rand = rng.choice(alphabet, size=2_200_000)
+    seam_polyA = rand.copy()
+    seam_polyA[:1_200_000] = ord("A")  # phantom reign crosses the P/2 seam
+
+    for data in (rand, seam_polyA):
+        buf = data.tobytes()
+        hn, pn = _native.winnow(buf, k, w)
+        eh, ep = winnow_sequence(data, params)
+        got_h = np.frombuffer(hn, dtype=np.uint32)
+        got_p = np.frombuffer(pn, dtype=np.int32)
+        assert got_h.shape == eh.shape
+        assert np.array_equal(got_h, eh)
+        assert np.array_equal(got_p, ep)

@@ -44,7 +44,7 @@ def test_sharded_matches_host(mesh_shape):
         (h.name, h.matches, h.fragments) for h in expected
     ]
     for a, b in zip(got, expected):
-        assert abs(a.identity - b.identity) < 1e-3
+        assert a.identity == b.identity  # bitwise: fixed-point identity sums
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -101,7 +101,7 @@ def test_query_many_matches_per_genome():
             (h.name, h.matches, h.fragments) for h in expected
         ]
         for h, e in zip(hits, expected):
-            assert abs(h.identity - e.identity) < 2e-4
+            assert h.identity == e.identity  # bitwise: fixed-point identity sums
     assert batched[2] == []
 
 
@@ -138,7 +138,7 @@ def test_determinism_across_repeats_and_meshes():
             (h.name, h.matches, h.fragments) for h in first
         ]
         for a, b in zip(other, first):
-            assert abs(a.identity - b.identity) < 1e-4
+            assert a.identity == b.identity  # bitwise: fixed-point identity sums
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -178,7 +178,7 @@ def test_checkpoint_restore_matches_host(tmp_path):
         (h.name, h.matches, h.fragments) for h in expected
     ]
     for a, b in zip(got, expected):
-        assert abs(a.identity - b.identity) < 1e-3
+        assert a.identity == b.identity  # bitwise: fixed-point identity sums
 
 
 def test_concurrent_queries_match_serial():
@@ -259,7 +259,7 @@ def test_many_genomes_per_shard():
             (h.name, h.matches, h.fragments) for h in expected
         ]
         for a, b in zip(hits, expected):
-            assert abs(a.identity - b.identity) < 1e-3
+            assert a.identity == b.identity  # bitwise: fixed-point identity sums
 
 
 def test_checkpoint_without_gpos_bucket_rebuilds(tmp_path):

@@ -53,4 +53,4 @@ def test_sharded_pallas_matches_host(monkeypatch):
             (h.name, h.matches, h.fragments) for h in e
         ]
         for a, b in zip(g, e):
-            assert abs(a.identity - b.identity) < 1e-3
+            assert a.identity == b.identity  # bitwise: fixed-point identity sums
