@@ -34,7 +34,8 @@ BASELINE_MBP_S = 4.3
 N_REFS = int(os.environ.get("BENCH_REFS", "10"))
 REF_LEN = int(os.environ.get("BENCH_REF_LEN", "2000000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "4"))
-AVA_GENOMES = int(os.environ.get("BENCH_AVA_GENOMES", "256"))
+# 512 genomes = BASELINE.json config 4 scale (a ~500-genome panel)
+AVA_GENOMES = int(os.environ.get("BENCH_AVA_GENOMES", "512"))
 # per-family genome length cycles through a 1-5 Mbp mix (BASELINE.json
 # config 4 names a ~500-genome bacterial panel; sizes are heterogeneous)
 AVA_LENGTHS = tuple(
@@ -44,6 +45,11 @@ AVA_LENGTHS = tuple(
 )
 AVA_FAMILY = 4  # genomes per mutation family
 MUT_RATE = 0.03
+# every second family descends from the previous family's ancestor at
+# this rate, planting CROSS-family pairs near the 80%-identity /
+# minFraction gates (VERDICT r04 #5: CGI filtering must be non-trivial
+# at scale, not just 4-cliques)
+CROSS_RATE = 0.09
 
 
 def _mutate(rng, base, rate):
@@ -66,12 +72,21 @@ def _genomes():
 
 def _ava_genomes():
     """N genomes in families of AVA_FAMILY mutants of a shared ancestor,
-    with family sizes cycling through the 1-5 Mbp mix."""
+    with family sizes cycling through the 1-5 Mbp mix.  Odd families
+    descend from the previous family's ancestor at CROSS_RATE, so
+    cross-family pairs sit near the identity/minFraction gates."""
     rng = np.random.default_rng(7)
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
     out = []
+    prev_base = None
     for fam in range(-(-AVA_GENOMES // AVA_FAMILY)):
-        base = rng.choice(alphabet, size=AVA_LENGTHS[fam % len(AVA_LENGTHS)])
+        if fam % 2 == 1 and prev_base is not None:
+            base = _mutate(rng, prev_base, CROSS_RATE)
+        else:
+            base = rng.choice(
+                alphabet, size=AVA_LENGTHS[(fam // 2) % len(AVA_LENGTHS)]
+            )
+        prev_base = base
         for _ in range(min(AVA_FAMILY, AVA_GENOMES - len(out))):
             out.append(_mutate(rng, base, MUT_RATE).tobytes())
     return out
@@ -105,12 +120,16 @@ def main():
     t_index = time.time() - t0
     _log(f"indexed in {t_index:.1f}s ({mapper._index.n_minimizers} minimizers)")
 
+    t0 = time.time()
     session = ShardedSession(mapper, mesh)
+    t_park = time.time() - t0
+    _log(f"session init (index park h2d): {t_park:.1f}s")
     _log("warmup (compiles the batched sharded step)...")
     t0 = time.time()
-    session.query_many([[q] for q in queries])
+    nfrag = sum(len(q) // 3000 for q in queries)
+    warm_report = session.warmup([nfrag])
     t_warm = time.time() - t0
-    _log(f"warmup done in {t_warm:.1f}s")
+    _log(f"warmup done in {t_warm:.1f}s {warm_report}")
 
     t0 = time.time()
     results = session.query_many([[q] for q in queries])
@@ -124,7 +143,8 @@ def main():
     )
     detail.update(
         n_refs=N_REFS, ref_len=REF_LEN, n_queries=N_QUERIES,
-        index_s=round(t_index, 2), warmup_s=round(t_warm, 2),
+        index_s=round(t_index, 2), park_s=round(t_park, 2),
+        warmup_s=round(t_warm, 2),
         query_s_per_genome=round(small_elapsed / N_QUERIES, 3),
         small_mbp_s=round(small_bp / 1e6 / small_elapsed, 3),
     )
@@ -184,11 +204,17 @@ def main():
     t_ava_index = time.time() - t0
     _log(f"ava index in {t_ava_index:.1f}s ({mapper._index.n_minimizers} minimizers)")
 
-    session = ShardedSession(mapper, mesh)
     t0 = time.time()
-    session.query_many([[g] for g in genomes])  # compiles the packed buckets
+    session = ShardedSession(mapper, mesh)
+    t_ava_park = time.time() - t0
+    _log(f"ava session init (index park h2d): {t_ava_park:.1f}s")
+    t0 = time.time()
+    warm_report = session.warmup()  # the full-capacity dispatch bucket
     t_ava_warm = time.time() - t0
-    _log(f"ava warmup {t_ava_warm:.1f}s")
+    _log(
+        f"ava warmup {t_ava_warm:.1f}s {warm_report} "
+        f"(variants: {session.stats['compiled_variants']})"
+    )
 
     t0 = time.time()
     results = session.query_many([[g] for g in genomes])
@@ -202,12 +228,18 @@ def main():
         f"all-vs-all: {n_pairs} pairs, {ava_bp/1e6:.0f} Mbp in {ava_elapsed:.2f}s "
         f"({n_pairs/ava_elapsed:.1f} pairs/s, {mbp_s:.2f} Mbp/s, {hits_total} hits)"
     )
+    ava_mbp = sum(len(g) for g in genomes) / 1e6
     detail.update(
         ava_genomes=len(genomes),
-        ava_mbp=round(sum(len(g) for g in genomes) / 1e6, 1),
-        ava_index_s=round(t_ava_index, 2), ava_warmup_s=round(t_ava_warm, 2),
+        ava_mbp=round(ava_mbp, 1),
+        ava_index_s=round(t_ava_index, 2),
+        ava_index_mbp_s=round(ava_mbp / t_ava_index, 1),
+        ava_park_s=round(t_ava_park, 2),
+        ava_warmup_s=round(t_ava_warm, 2),
         ava_pairs=n_pairs, ava_pairs_per_s=round(n_pairs / ava_elapsed, 2),
         ava_hits=hits_total,
+        ava_intra_family_hits=len(genomes) * AVA_FAMILY,
+        budget_escalations=session.stats["budget_escalations"],
     )
 
     # NOT a CPU-FastANI comparison: the denominator is this repo's own

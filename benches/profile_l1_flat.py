@@ -73,23 +73,26 @@ def main():
     uniq = jnp.asarray(sidx.uniq_hash[0])
     rstart = jnp.asarray(sidx.row_start[0])
     rlen = jnp.asarray(sidx.row_len[0])
-    pseq = jnp.asarray(sidx.post_seqid[0])
-    pwpos = jnp.asarray(sidx.post_wpos[0])
+    pgpos = jnp.asarray(sidx.post_gpos[0])
     thr = jnp.asarray(sidx.freq_threshold[0])
-    hb = jnp.asarray(sidx.hash_bucket[0])
+    hb = jnp.asarray(np.stack(
+        [sidx.hash_bucket[0][:-1], sidx.hash_bucket[0][1:]], axis=-1
+    ))
     tab = jnp.asarray(
         stats.min_hits_relaxed_table(l, k, params.percentage_identity)
     )
     _BIG = np.int32(2**30)
     U = sidx.uniq_hash.shape[1]
-    M = sidx.post_seqid.shape[1]
+    M = sidx.post_gpos.shape[1]
     S = q_sorted.shape[1]
     T = F * hmax
 
     def probe_part(q_sorted, s_sizes):
-        bq = (q_sorted >> jnp.uint32(16)).astype(jnp.int32)
-        lo = hb[bq]
-        hi = hb[bq + 1]
+        bits = int(hb.shape[0]).bit_length() - 1
+        bq = (q_sorted >> jnp.uint32(32 - bits)).astype(jnp.int32)
+        bp = hb[bq]
+        lo = bp[:, :, 0]
+        hi = bp[:, :, 1]
         for _ in range(bucket_steps):
             active = lo < hi
             mid = (lo + hi) // 2
@@ -122,20 +125,22 @@ def main():
         valid_t = t_idx < jnp.minimum(total, T)
         src_c = jnp.clip(src, 0, max(M - 1, 0))
         hit_frag = jnp.where(valid_t, seg // S, F)
-        hit_seq = jnp.where(valid_t, pseq[src_c], _BIG)
-        hit_pos = jnp.where(valid_t, pwpos[src_c], _BIG)
-        return hit_frag, hit_seq, hit_pos
+        hit_gpos = jnp.where(valid_t, pgpos[src_c], _BIG)
+        return hit_frag, hit_gpos
 
     def sort_part(q_sorted, s_sizes):
-        hit_frag, hit_seq, hit_pos = expand_part(q_sorted, s_sizes)
-        return jax.lax.sort((hit_frag, hit_seq, hit_pos), num_keys=3)
+        hit_frag, hit_gpos = expand_part(q_sorted, s_sizes)
+        return jax.lax.sort((hit_frag, hit_gpos), num_keys=2)
 
     from pyfastani_tpu.ops.l1 import l1_candidates_device
 
+    m_values = tuple(sorted({int(max(int(v), 1))
+                             for v in np.asarray(tab)[: S + 1]}))
+
     def full(q_sorted, s_sizes):
         return l1_candidates_device.__wrapped__(
-            q_sorted, s_sizes, uniq, rstart, rlen, pseq, pwpos, thr, tab, hb,
-            hmax, ivmax, l, bucket_steps,
+            q_sorted, s_sizes, uniq, rstart, rlen, pgpos, thr, tab, hb,
+            hmax, ivmax, l, bucket_steps, m_values,
         )
 
     def bench(name, fn):

@@ -65,11 +65,14 @@ def main():
 
     A = {
         n: jnp.asarray(sidx.__dict__[n][0])
-        for n in ("uniq_hash", "row_start", "row_len", "post_seqid",
-                  "post_wpos", "mini_hash", "mini_wpos", "mini_seqid",
+        for n in ("uniq_hash", "row_start", "row_len", "post_gpos",
+                  "mini_hash", "mini_wpos", "mini_seqid",
                   "mini_gpos", "mini_prev", "contig_offset",
                   "seq_to_genome", "hash_bucket", "gpos_bucket")
     }
+    A["hash_bucket"] = jnp.asarray(np.stack(
+        [sidx.hash_bucket[0][:-1], sidx.hash_bucket[0][1:]], axis=-1
+    ))
     thr = jnp.asarray(sidx.freq_threshold[0])
     tab = jnp.asarray(stats.min_hits_relaxed_table(l, k, params.percentage_identity))
     gate = jnp.asarray(stats.l2_gate_table(l, k, params.percentage_identity))
@@ -79,6 +82,17 @@ def main():
     kc = min(smax + 128, l)
     use_pallas = session._use_pallas
     gpos_aux = (A["gpos_bucket"], sidx.gpos_shift, sidx.gpos_steps)
+    m_values = tuple(sorted({int(max(int(v), 1))
+                             for v in np.asarray(tab)[: smax + 1]}))
+
+    def iv_convert(iv_g0, iv_g1, iv_valid):
+        C1 = A["contig_offset"].shape[0]
+        g0f, g1f = iv_g0.reshape(-1), iv_g1.reshape(-1)
+        iv_seq = jnp.clip(
+            jnp.searchsorted(A["contig_offset"], g1f, side="right").astype(
+                jnp.int32) - 1, 0, C1 - 2)
+        base = A["contig_offset"][iv_seq]
+        return iv_seq, jnp.maximum(g0f, base) - base, g1f - base
 
     def upto_l2(fr):
         _, _, q_sorted, s_sizes = _winnow_fragments_impl.__wrapped__(
@@ -87,15 +101,16 @@ def main():
         q_sorted = q_sorted[:, : min(smax, q_sorted.shape[1])]
         iv = l1_candidates_device.__wrapped__(
             q_sorted, s_sizes, A["uniq_hash"], A["row_start"], A["row_len"],
-            A["post_seqid"], A["post_wpos"], thr, tab, A["hash_bucket"],
-            b["hmax"], b["ivmax"], l, sidx.bucket_steps,
+            A["post_gpos"], thr, tab, A["hash_bucket"],
+            b["hmax"], b["ivmax"], l, sidx.bucket_steps, m_values,
         )
-        iv_seq, iv_c0, iv_c1, iv_valid = iv[0], iv[1], iv[2], iv[3]
+        iv_seq, iv_c0, iv_c1 = iv_convert(iv[0], iv[1], iv[2])
+        iv_valid = iv[2]
         frag_of_iv = jnp.repeat(jnp.arange(F, dtype=jnp.int32), b["ivmax"])
         ch_max = -(-(F * b["t_chunks"]) // _CH_SLAB) * _CH_SLAB
         return _l2_interval_scan(
-            q_sorted, s_sizes, frag_of_iv, iv_seq.reshape(-1),
-            iv_c0.reshape(-1), iv_c1.reshape(-1), iv_valid.reshape(-1),
+            q_sorted, s_sizes, frag_of_iv, iv_seq,
+            iv_c0, iv_c1, iv_valid.reshape(-1),
             A["mini_hash"], A["mini_wpos"], A["mini_seqid"], A["mini_gpos"],
             A["mini_prev"], A["contig_offset"], cmw, b["cmax"], b["rmax"],
             ch_max, use_pallas, None, gpos_aux,
@@ -114,13 +129,11 @@ def main():
         q_sorted = q_sorted[:, : min(smax, q_sorted.shape[1])]
         iv = l1_candidates_device.__wrapped__(
             q_sorted, s_sizes, A["uniq_hash"], A["row_start"], A["row_len"],
-            A["post_seqid"], A["post_wpos"], thr, tab, A["hash_bucket"],
-            b["hmax"], b["ivmax"], l, sidx.bucket_steps,
+            A["post_gpos"], thr, tab, A["hash_bucket"],
+            b["hmax"], b["ivmax"], l, sidx.bucket_steps, m_values,
         )
-        iv_seq, iv_c0, iv_c1, iv_valid = (
-            iv[0].reshape(-1), iv[1].reshape(-1), iv[2].reshape(-1),
-            iv[3].reshape(-1),
-        )
+        iv_seq, iv_c0, iv_c1 = iv_convert(iv[0], iv[1], iv[2])
+        iv_valid = iv[2].reshape(-1)
         frag_of_iv = jnp.repeat(jnp.arange(F, dtype=jnp.int32), b["ivmax"])
         ch_max = -(-(F * b["t_chunks"]) // _CH_SLAB) * _CH_SLAB
         cmax = b["cmax"]

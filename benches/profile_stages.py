@@ -83,7 +83,9 @@ def main():
         sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_seqid,
         sidx.post_wpos)]
     thr = jnp.asarray(sidx.freq_threshold[0])
-    hb = jnp.asarray(sidx.hash_bucket[0])
+    hb = jnp.asarray(np.stack(
+        [sidx.hash_bucket[0][:-1], sidx.hash_bucket[0][1:]], axis=-1
+    ))
     l1fn = jax.jit(lambda qs, ss: l1_candidates_device.__wrapped__(
         qs, ss, *idx_args, thr, jnp.asarray(tab), hb,
         b["hmax"], b["ivmax"], l, sidx.bucket_steps))
@@ -97,8 +99,8 @@ def main():
     g_max = int(sidx.genome_lengths.shape[1])
     gate = stats.l2_gate_table(l, k, params.percentage_identity)
     full_args = [jnp.asarray(a[0]) for a in (
-        sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_seqid,
-        sidx.post_wpos, sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid,
+        sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_gpos,
+        sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid,
         sidx.mini_gpos, sidx.mini_prev, sidx.contig_offset,
         sidx.seq_to_genome)]
     static = dict(k=k, w=w, length=l, protein=False, l=l,
@@ -106,7 +108,9 @@ def main():
                   rmax=b["rmax"], t_chunks=b["t_chunks"], g_max=g_max,
                   bin_max=b["bin_max"], smax=smax, q_count=4,
                   bucket_steps=sidx.bucket_steps,
-                  use_pallas=session._use_pallas)
+                  use_pallas=session._use_pallas,
+                  m_values=tuple(sorted({int(max(int(v), 1))
+                                         for v in tab[: b["smax"] + 1]})))
     ident2d = stats.identity_table(smax, k)
     fullfn = jax.jit(lambda fr, qg: _query_block_impl(
         fr, qg, *full_args, thr, hb, jnp.asarray(tab), jnp.asarray(gate),

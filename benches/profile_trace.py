@@ -189,18 +189,22 @@ def build_fullfn():
     ident2d = stats.identity_table(b["smax"], k)
     g_max = int(sidx.genome_lengths.shape[1])
     full_args = [jnp.asarray(a[0]) for a in (
-        sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_seqid,
-        sidx.post_wpos, sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid,
+        sidx.uniq_hash, sidx.row_start, sidx.row_len, sidx.post_gpos,
+        sidx.mini_hash, sidx.mini_wpos, sidx.mini_seqid,
         sidx.mini_gpos, sidx.mini_prev, sidx.contig_offset,
         sidx.seq_to_genome)]
     thr = jnp.asarray(sidx.freq_threshold[0])
-    hb = jnp.asarray(sidx.hash_bucket[0])
+    hb = jnp.asarray(np.stack(
+        [sidx.hash_bucket[0][:-1], sidx.hash_bucket[0][1:]], axis=-1
+    ))
     static = dict(k=k, w=w, length=l, protein=False, l=l,
                   hmax=b["hmax"], ivmax=b["ivmax"], cmax=b["cmax"],
                   rmax=b["rmax"], t_chunks=b["t_chunks"], g_max=g_max,
                   bin_max=b["bin_max"], smax=b["smax"], q_count=4,
                   bucket_steps=sidx.bucket_steps,
-                  use_pallas=session._use_pallas)
+                  use_pallas=session._use_pallas,
+                  m_values=tuple(sorted({int(max(int(v), 1))
+                                         for v in tab[: b["smax"] + 1]})))
     gaux = (jnp.asarray(sidx.gpos_bucket[0]), sidx.gpos_shift, sidx.gpos_steps)
     fullfn = jax.jit(lambda fr, qg: _query_block_impl(
         fr, qg, *full_args, thr, hb, jnp.asarray(tab), jnp.asarray(gate),

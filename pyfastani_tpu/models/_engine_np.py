@@ -215,8 +215,12 @@ def build_hash_bucket(uniq_hash: np.ndarray, bits: int | None = None):
         levels[b] = levels[b + 1].reshape(-1, 2).sum(axis=1, dtype=np.int32)
     if bits is None:
         bits = 16
-        while bits < 24:  # <= 64 MB table; a 36M-row index needs 24
-            if int(levels[bits].max(initial=0)) <= 48 or (1 << bits) >= 4 * u:
+        # depth target 16 (vs 48 on the small path): each halving of the
+        # max bucket depth removes one (F, S)-sized gather round from
+        # every device probe, and at this scale the table cost is already
+        # paid -- cap unchanged at 2^24 entries / 64 MB
+        while bits < 24:
+            if int(levels[bits].max(initial=0)) <= 16 or (1 << bits) >= 8 * u:
                 break
             bits += 1
     agg = levels[bits]

@@ -7,11 +7,8 @@ jitted program.  All stages are static-shape with explicit budgets:
 * ``hmax``: seed hits per fragment **on average** -- the hit buffer is a
   single flat axis of ``F * hmax`` slots shared by the whole fragment
   batch, so one fragment pulling a long posting row borrows capacity
-  from the others instead of forcing every row to the worst case.  (The
-  previous formulation padded a dense ``(F, hmax)`` buffer to the worst
-  single fragment; with typical fragments carrying a few hundred seed
-  hits that made the sort/scan >95% padding work -- the dominant stage
-  cost on TPU.)  Overflow of the *total* is reported, never silent;
+  from the others instead of forcing every row to the worst case.
+  Overflow of the *total* is reported, never silent;
 * ``ivmax``: merged candidate intervals per fragment.
 
 TPU cost model (measured on v5e, benches/profile_l1_micro.py): random
@@ -19,17 +16,36 @@ TPU cost model (measured on v5e, benches/profile_l1_micro.py): random
 descriptor as a 4-byte one, so every multi-array lookup here gathers ONE
 packed row; flat ``lax.cumsum``/``cummax`` over ~1M elements costs ~25 ms
 (21 shifted passes), so scans run 2-level over a (rows, 512) reshape;
-``jax.ops.segment_*`` lowers to a serialized scatter (~36 ms per call),
-so the three interval reductions pack into a single ``segment_max`` and
-the per-fragment interval count is derived from the boundary prefix sum
-with gathers instead of a fourth scatter.
+``jax.ops.segment_*`` lowers to a serialized scatter, so the interval
+reductions pack into a single ``segment_max``.
+
+Round-5 redesign -- three structural cuts to the T-sized gather count:
+
+* hits carry ONE coordinate, the **global position** (``post_gpos``,
+  per-shard cumulative contig offsets).  Contigs are laid out with
+  >= l + 8 of dead space between them (`build_sharded_index`), so
+  "same contig and within l" collapses to a single gpos difference and
+  the (seqId, wpos) pair -- one sort key and one gather plane -- drops
+  out of the whole stage.  Contig ids are recovered per merged interval
+  (a few hundred per fragment at most) by the caller, not per hit;
+* the per-fragment minimum-hit count ``m`` rides the packed per-probe
+  gather (delta, m) instead of costing its own T-sized gather.  The
+  (fragment, gpos) sort is stable with fragment as primary key and each
+  fragment's slot range is fixed by the probe prefix sums, so the
+  pre-sort ``m_t`` is elementwise identical to the post-sort one;
+* the m-consecutive-hit window check needs ``hits[t + m_t - 1]``.  The
+  reachable values of ``m`` are the distinct entries of the min-hits
+  table below the sketch budget -- a STATIC set, {1..4} at default
+  parameters -- so the data-dependent gather becomes a select over
+  ``len(m_values)`` shifted slices (contiguous reads, ~1000x cheaper
+  than a T-sized random gather).
 
 Semantics mirror ``Mapper._do_l1_mappings`` + [reconstructed]
 ``computeL1CandidateRegions`` (``_fastani.pyx:885-954``,
 ``compute_map.pxd:41-44``): probe the CSR index per unique sketch hash,
 skip rows at/above the frequency threshold, sort seed hits by
-(fragment, seqId, wpos), find windows of ``m`` consecutive hits spanning
-< l, and merge overlapping candidates.
+(fragment, seqId, wpos) == (fragment, gpos), find windows of ``m``
+consecutive hits spanning < l, and merge overlapping candidates.
 """
 
 from __future__ import annotations
@@ -85,7 +101,8 @@ def _scan2(op, x):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hmax", "ivmax", "l", "bucket_steps")
+    jax.jit,
+    static_argnames=("hmax", "ivmax", "l", "bucket_steps", "m_values"),
 )
 def l1_candidates_device(
     q_sorted,  # (F, S) u32 ascending sketch hashes, UMAX padded
@@ -93,32 +110,38 @@ def l1_candidates_device(
     uniq_hash,  # (U,) u32
     row_start,  # (U,) i32
     row_len,  # (U,) i32
-    post_seqid,  # (M,) i32
-    post_wpos,  # (M,) i32
+    post_gpos,  # (M,) i32 global positions of hash-sorted postings
     freq_threshold,  # scalar i32
     min_hits_table,  # (T,) i32, indexed by sketch size (clipped)
-    hash_bucket,  # (2^bits + 1,) i32 prefix over uniq_hash >> (32 - bits)
+    hash_bucket,  # (2^bits, 2) i32 (row_lo, row_hi) per hash prefix
     hmax: int,
     ivmax: int,
     l: int,
     bucket_steps: int = 21,
+    m_values: tuple = (1, 2, 3, 4),
 ):
-    """Returns (iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv):
-    (F, ivmax) x3, (F, ivmax) bool, and two scalar bools flagging which
-    static budget (hmax / ivmax) overflowed.  Hit capacity is
-    ``F * hmax`` *in total* (see module docstring)."""
+    """Returns (iv_g0, iv_g1, iv_valid, ovf_hits, ovf_iv): (F, ivmax) x2
+    GLOBAL-coordinate candidate intervals, (F, ivmax) bool, and two
+    scalar bools flagging which static budget (hmax / ivmax) overflowed.
+    ``iv_g0`` is unclamped at contig starts -- the caller clamps against
+    the owning contig's base offset.  ``m_values`` must cover every
+    reachable min-hits value for sketch sizes 0..S (see module docstring).
+    """
     F, S = q_sorted.shape
-    M = post_seqid.shape[0]
+    M = post_gpos.shape[0]
     U = uniq_hash.shape[0]
     T = F * hmax  # flat hit capacity shared across the fragment batch
 
     # --- probe the CSR index ------------------------------------------------
     # bucketed binary search: the adaptive hash-prefix table narrows each
     # probe to its bucket, so only ~log2(max bucket) gather steps remain
-    bits = int(hash_bucket.shape[0] - 1).bit_length() - 1
+    bits = int(hash_bucket.shape[0]).bit_length() - 1
     b = (q_sorted >> jnp.uint32(32 - bits)).astype(jnp.int32)
-    lo = hash_bucket[b]
-    hi = hash_bucket[b + 1]
+    # ONE packed (lo, hi) row per probe instead of two table gathers (a
+    # multi-word row costs the same DMA descriptor as one word)
+    bp = hash_bucket[b]  # (F, S, 2)
+    lo = bp[:, :, 0]
+    hi = bp[:, :, 1]
     for _ in range(bucket_steps):
         active = lo < hi
         mid = (lo + hi) // 2
@@ -152,6 +175,20 @@ def l1_candidates_device(
     ovf_hits = total > T
     off_begin = off_end - lens_flat
 
+    # per-fragment minimum hit count, packed with the gather delta so it
+    # costs no extra T-sized lookup
+    m_frag = jnp.maximum(
+        min_hits_table[
+            jnp.clip(s_sizes, 0, min(S, min_hits_table.shape[0] - 1))
+        ],
+        1,
+    )  # (F,)
+    delta = at_row[:, :, 2].reshape(-1) - off_begin  # (F*S,)
+    probe_pack = jnp.stack(
+        [delta, jnp.broadcast_to(m_frag[:, None], (F, S)).reshape(-1)],
+        axis=1,
+    )  # (F*S, 2)
+
     # probe owning output slot t: scatter each non-empty probe's id at its
     # begin offset and cummax-fill forward -- much cheaper on TPU than a
     # binary search per output slot.
@@ -160,58 +197,65 @@ def l1_candidates_device(
     seg = jnp.zeros((T + 1,), jnp.int32).at[scat].max(probe_ids)
     seg = _scan2(jax.lax.cummax, seg[:T])  # (T,)
     t_idx = jnp.arange(T, dtype=jnp.int32)
-    # per-probe (row_start - off_begin) packed once, gathered once at seg
-    delta = at_row[:, :, 2].reshape(-1) - off_begin  # (F*S,)
-    src = delta[seg] + t_idx
+    at_probe = probe_pack[seg]  # (T, 2) one gather
+    src = at_probe[:, 0] + t_idx
     valid_t = t_idx < jnp.minimum(total, T)
     src_c = jnp.clip(src, 0, max(M - 1, 0))
     hit_frag = jnp.where(valid_t, seg // S, F)
-    # one paired gather instead of two (see module docstring cost model)
-    post_pair = jnp.stack([post_seqid, post_wpos], axis=1)  # (M, 2)
-    hits2 = post_pair[src_c]  # (T, 2)
-    hit_seq = jnp.where(valid_t, hits2[:, 0], _BIG)
-    hit_pos = jnp.where(valid_t, hits2[:, 1], _BIG)
+    m_t = jnp.where(valid_t, at_probe[:, 1], 1)
+    hit_gpos = jnp.where(valid_t, post_gpos[src_c], _BIG)  # (T,) one gather
 
-    # --- sort hits by (fragment, seqId, wpos) -------------------------------
-    hit_frag, hit_seq, hit_pos = jax.lax.sort(
-        (hit_frag, hit_seq, hit_pos), num_keys=3
-    )
+    # --- sort hits by (fragment, gpos) --------------------------------------
+    # gpos is (seqId, wpos)-lexicographic by construction, so this is the
+    # reference's (fragment, seqId, wpos) order with one key fewer.  The
+    # sort permutes only within each fragment's fixed slot range (frag is
+    # the primary key and slot ranges come from the prefix sums), so the
+    # per-slot m_t computed above is already in sorted order.
+    hit_frag, hit_gpos = jax.lax.sort((hit_frag, hit_gpos), num_keys=2)
 
     # --- m-consecutive-hit candidate windows --------------------------------
-    m = min_hits_table[jnp.clip(s_sizes, 0, min_hits_table.shape[0] - 1)]
-    m = jnp.maximum(m, 1)  # (F,)
-    m_t = m[jnp.clip(hit_frag, 0, F - 1)]
-    j2 = jnp.clip(t_idx + m_t - 1, 0, T - 1)
-    hits3 = jnp.stack([hit_frag, hit_seq, hit_pos], axis=1)  # (T, 3)
-    at_j2 = hits3[j2]  # one 12-byte gather, not three 4-byte ones
+    # hits[t + m_t - 1] via a select over statically-shifted slices: the
+    # runtime values of m_t are confined to the static ``m_values`` set
+    hits2 = jnp.stack([hit_frag, hit_gpos], axis=1)  # (T, 2)
+    mmax = max(m_values)
+    padded = jnp.concatenate(
+        [hits2, jnp.full((mmax, 2), _BIG, jnp.int32)], axis=0
+    )
+    v0 = m_values[0]
+    at_j2 = jax.lax.dynamic_slice_in_dim(padded, v0 - 1, T, axis=0)
+    for v in m_values[1:]:
+        at_j2 = jnp.where(
+            (m_t == v)[:, None],
+            jax.lax.dynamic_slice_in_dim(padded, v - 1, T, axis=0),
+            at_j2,
+        )
     frag_j2 = at_j2[:, 0]
-    seq_j2 = at_j2[:, 1]
-    pos_j2 = at_j2[:, 2]
+    gpos_j2 = at_j2[:, 1]
     cand_ok = (
         (hit_frag < F)
-        & (hit_seq < _BIG)
+        & (hit_gpos < _BIG)
         & (t_idx + m_t - 1 < T)
         & (frag_j2 == hit_frag)
-        & (seq_j2 == hit_seq)
-        & (pos_j2 - hit_pos < l)
+        & (gpos_j2 - hit_gpos < l)  # same contig implied: gaps >= l + 8
     )
-    cand_start = jnp.maximum(0, pos_j2 - l + 1)
-    cand_end = hit_pos
+    cand_gstart = gpos_j2 - l + 1  # unclamped; see docstring
+    cand_gend = hit_gpos
 
     # --- merge overlapping candidates (in place) ----------------------------
-    # candidates are in (frag, seq, pos) order; the previous *valid*
-    # candidate is one exclusive cummax of marked indices + one gather
+    # candidates are in (frag, gpos) order; the previous *valid*
+    # candidate is one exclusive cummax of marked indices + one gather.
+    # Cross-contig pairs can never merge (cand_gstart lands in the dead
+    # gap past the previous contig's last minimizer), so no seqId check.
     cand_idx = jnp.where(cand_ok, t_idx, -1)
     prev_idx = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), _scan2(jax.lax.cummax, cand_idx)[:-1]]
     )
     p_c = jnp.clip(prev_idx, 0, T - 1)
-    at_prev = hits3[p_c]
+    at_prev = hits2[p_c]
     boundary = cand_ok & (
         (prev_idx < 0)
         | (at_prev[:, 0] != hit_frag)
-        | (at_prev[:, 1] != hit_seq)
-        | (cand_start > at_prev[:, 2])
+        | (cand_gstart > at_prev[:, 1])
     )
     b_cum = _scan2(jax.lax.cumsum, boundary.astype(jnp.int32))
     b_excl = b_cum - boundary
@@ -226,34 +270,37 @@ def l1_candidates_device(
     n_iv = b_ext[jnp.clip(frag_next, 0, T)] - base
     ovf_iv = jnp.any(n_iv > ivmax)
 
-    iv_local = jnp.where(
-        cand_ok, (b_cum - 1) - base[jnp.clip(hit_frag, 0, F - 1)], -1
-    )
-
-    # ONE packed segment reduction for the three interval aggregates:
-    # within a merged interval, seqId is constant (max == the value) and
-    # cand_start is nondecreasing (max of the negation == the min)
+    # ONE packed segment reduction for the two interval aggregates:
+    # within a merged interval cand_gstart is nondecreasing (max of the
+    # negation == the min == the first member's) and cand_gend is
+    # nondecreasing (max == the last member's).  Segments are keyed by
+    # the GLOBAL interval id (b_cum - 1) -- fragment-local slots are
+    # recovered afterwards with one cheap (F, ivmax) gather, which
+    # avoids a per-hit base[hit_frag] lookup (a full T-sized gather).
+    gid = b_cum - 1
     flat_seg = jnp.where(
-        iv_local >= 0,
-        hit_frag * ivmax + jnp.clip(iv_local, 0, ivmax - 1),
-        F * ivmax,
+        cand_ok & (gid < F * ivmax), gid, F * ivmax
     )
     packed = jnp.stack(
         [
-            jnp.where(cand_ok, hit_seq, -_BIG),
-            jnp.where(cand_ok, -cand_start, -_BIG),
-            jnp.where(cand_ok, cand_end, -_BIG),
+            jnp.where(cand_ok, -cand_gstart, -_BIG),
+            jnp.where(cand_ok, cand_gend, -_BIG),
         ],
         axis=1,
-    )  # (T, 3)
-    red = jax.ops.segment_max(
+    )  # (T, 2)
+    red_g = jax.ops.segment_max(
         packed, flat_seg, num_segments=F * ivmax + 1
-    )[: F * ivmax].reshape(F, ivmax, 3)
-    iv_seq = red[:, :, 0]
-    iv_c0 = -red[:, :, 1]
-    iv_c1 = red[:, :, 2]
+    )[: F * ivmax]  # (F*ivmax, 2) in global interval order
+    take = jnp.clip(
+        base[:, None] + jnp.arange(ivmax, dtype=jnp.int32)[None, :],
+        0,
+        F * ivmax - 1,
+    )
+    red = red_g[take]  # (F, ivmax, 2)
+    iv_g0 = -red[:, :, 0]
+    iv_g1 = red[:, :, 1]
     iv_valid = (
         jnp.arange(ivmax, dtype=jnp.int32)[None, :]
         < jnp.minimum(n_iv, ivmax)[:, None]
     )
-    return iv_seq, iv_c0, iv_c1, iv_valid, ovf_hits, ovf_iv
+    return iv_g0, iv_g1, iv_valid, ovf_hits, ovf_iv

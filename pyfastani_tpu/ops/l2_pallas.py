@@ -297,21 +297,24 @@ def _l2_pallas_impl(
         pad = n_seg * _NSEG - N
         scal = [row, ofs, rlen, frag, c0, clen, seq]
         # padding slots have rlen == 0: the kernel skips their DMAs and
-        # compute and writes the defaults
-        scal = [
-            jnp.pad(a, (0, pad)).reshape(n_seg, _NSEG) for a in scal
-        ]
-
-        def seg_fn(args):
-            return _l2_pallas_impl.__wrapped__(
-                *args, slabs, q_pad, Rr, Sc, cmw, interpret
+        # compute and writes the defaults.  The segment loop is UNROLLED
+        # (static slices, one inlined pallas_call per segment): a lax.map
+        # here costs ~2.4 ms of while-loop + dynamic-slice machinery per
+        # step on this platform (round-5 device trace) while the call
+        # itself is ~0.1 ms; the Mosaic kernel compiles once either way.
+        scal = [jnp.pad(a, (0, pad)) for a in scal]
+        outs = []
+        for s in range(n_seg):
+            sl = [a[s * _NSEG : (s + 1) * _NSEG] for a in scal]
+            outs.append(
+                _l2_pallas_impl.__wrapped__(
+                    *sl, slabs, q_pad, Rr, Sc, cmw, interpret
+                )
             )
-
-        best, first, last = jax.lax.map(seg_fn, tuple(scal))
         return (
-            best.reshape(-1)[:N],
-            first.reshape(-1)[:N],
-            last.reshape(-1)[:N],
+            jnp.concatenate([o[0] for o in outs])[:N],
+            jnp.concatenate([o[1] for o in outs])[:N],
+            jnp.concatenate([o[2] for o in outs])[:N],
         )
     kern = functools.partial(_kernel, Rr=Rr, Sc=Sc, cmw=cmw)
     grid_spec = pltpu.PrefetchScalarGridSpec(

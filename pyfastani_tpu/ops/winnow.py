@@ -60,6 +60,23 @@ def _cumall(xp, x_bool):
     return jax.lax.cummin(x_bool.astype("int32")).astype(bool)
 
 
+def _complement_bytes(xp, data):
+    """Elementwise complement without a table GATHER.
+
+    An 8M-element 256-entry LUT gather costs ~60 ms on TPU (measured by
+    the round-5 device trace); the table has only ~26 non-identity
+    entries (12 IUPAC letters x 2 cases + 2 control bytes), so a chain of
+    vector selects is ~50x cheaper and bitwise identical.
+    """
+    if _is_numpy(xp):
+        return complement_table()[data]
+    tab = complement_table()
+    out = data
+    for v in np.flatnonzero(tab != np.arange(tab.shape[0])):
+        out = xp.where(data == np.uint8(v), np.uint8(tab[v]), out)
+    return out
+
+
 def nucl_canonical(xp, data, n: int, k: int, n_positions: int):
     """Canonical nucleotide k-mer hashes and validity for every position.
 
@@ -75,40 +92,32 @@ def nucl_canonical(xp, data, n: int, k: int, n_positions: int):
     Returns:
         (canon, valid): uint32 hashes and bool mask, length ``n_positions``.
         Positions past ``n - k`` are invalid.
-    """
-    lut = complement_table()
-    if _is_numpy(xp):
-        comp = lut[data]
-        rc = comp[::-1]
-        L_pad = data.shape[0]
-        rc = np.roll(rc, -(L_pad - n))
-    else:
-        import jax.numpy as jnp
 
-        # fresh numpy copy per trace: jnp.asarray caches the conversion by
-        # object id, and the cached array becomes device-committed after one
-        # execution -- a committed capture is lifted to a hidden executable
-        # parameter that this platform's dispatch fast path then drops
-        comp = jnp.take(jnp.asarray(np.array(lut)), data.astype(jnp.int32))
-        rc = comp[::-1]
-        L_pad = data.shape[0]
-        rc = jnp.roll(rc, -(L_pad - n))
+    The reverse-complement hash needs NO data-dependent indexing: with
+    ``comp`` the elementwise complement and ``crev = comp[::-1]`` (a
+    STATIC reverse over the padded buffer), the revcomp k-mer at
+    position ``i`` is ``crev[L_pad - k - i : L_pad - i]``, so
+    ``bwd[i] = kmer_hashes(crev)[L_pad - k - i]`` -- i.e. the hash
+    array statically reversed.  The previous formulation (roll by the
+    traced length + a mirror-index gather) cost ~85 ms per dispatch at
+    bench shapes; this one is pure slices and bitwise identical on
+    every position that can be valid.
+    """
+    L_pad = data.shape[0]
+    comp = _complement_bytes(xp, data)
+    crev = comp[::-1]
 
     fwd = kmer_hashes(xp, data, k, out_len=n_positions)
-    # rc hashes must cover the whole buffer: the mirror of an emitted
-    # position can land anywhere in [0, L-k] (chunked callers emit only a
-    # window range of positions)
     rc_len = L_pad - k + 1
-    rc_hash = kmer_hashes(xp, rc, k, out_len=rc_len)
+    rr = kmer_hashes(xp, crev, k, out_len=rc_len)
+    # rr[L_pad - k - i] == murmur(comp[i + k - 1], ..., comp[i])
+    bwd = rr[::-1][:n_positions]
 
-    # bwd hash of position i is the hash of rc at mirrored position n-k-i
     idx = xp.arange(n_positions, dtype=xp.int32)
-    mirror = (xp.int32(n) - xp.int32(k)) - idx
-    in_range = (mirror >= 0) & (mirror < rc_len)
-    mirror_c = xp.clip(mirror, 0, rc_len - 1)
-    bwd = xp.where(in_range, rc_hash[mirror_c], xp.uint32(0))
-
     pos_ok = idx <= xp.int32(n) - xp.int32(k)
+    # invalid positions previously carried bwd == 0; their (canon, valid)
+    # are masked by pos_ok everywhere downstream, so the padded-garbage
+    # bwd here is unobservable
     valid = pos_ok & (fwd != bwd)
     canon = xp.minimum(fwd, bwd)
     return canon, valid
@@ -175,13 +184,31 @@ def winnow(xp, canon, valid, w: int):
     # window p is evaluated iff its last k-mer (p + w - 1) is valid
     evaluated = valid[w - 1 : w - 1 + P]
 
-    # previous evaluated window index (-1 if none)
+    # previous evaluated window's chosen position.  For fragment-sized
+    # inputs (N < 2^15) the (window idx, chosen pos) pair packs into one
+    # int32, so the lookup is a single exclusive cummax -- the gather
+    # formulation cost ~85 ms per dispatch at bench shapes (round-5
+    # device trace).  Long-sequence (host NumPy) callers keep the gather.
     idx = xp.arange(P, dtype=xp.int32)
-    marked = xp.where(evaluated, idx, xp.int32(-1))
-    prev = xp.concatenate([xp.full((1,), -1, dtype=xp.int32), _cummax(xp, marked)[:-1]])
-    prev_c = xp.clip(prev, 0, P - 1)
-    prev_pos = win_p[prev_c]
-    first_eval = prev < 0
+    if N * N <= 2**31 - 1:
+        packed = xp.where(
+            evaluated,
+            idx * xp.int32(N) + win_p.astype(xp.int32),
+            xp.int32(-1),
+        )
+        prev_packed = xp.concatenate(
+            [xp.full((1,), -1, dtype=xp.int32), _cummax(xp, packed)[:-1]]
+        )
+        first_eval = prev_packed < 0
+        prev_pos = (prev_packed % xp.int32(N)).astype(win_p.dtype)
+    else:
+        marked = xp.where(evaluated, idx, xp.int32(-1))
+        prev = xp.concatenate(
+            [xp.full((1,), -1, dtype=xp.int32), _cummax(xp, marked)[:-1]]
+        )
+        prev_c = xp.clip(prev, 0, P - 1)
+        prev_pos = win_p[prev_c]
+        first_eval = prev < 0
 
     is_new = evaluated & (first_eval | (win_p != prev_pos))
 

@@ -147,18 +147,34 @@ class TestEndToEndThreshold:
             (index.freq_threshold, 0, 1),  # hot dropped; cold alone maps
             (INT_MAX, 50, 51),  # unfiltered: all hot postings surface
         ]:
+            # device L1 hits carry global positions: lay contigs out with
+            # the same dead-gap rule as build_sharded_index
+            n_ctg = int(index.mini_seqid.max()) + 1 if index.n_minimizers else 1
+            max_wpos = np.zeros(n_ctg, np.int64)
+            np.maximum.at(max_wpos, index.mini_seqid, index.mini_wpos)
+            off = np.zeros(n_ctg + 1, np.int64)
+            off[1:] = np.cumsum(max_wpos + params.min_read_length + 8)
+            post_gpos = (
+                off[index.post_seqid] + index.post_wpos
+            ).astype(np.int32)
+            m_values = tuple(sorted({int(max(int(v), 1)) for v in tab[:5]}))
             out = l1_candidates_device(
                 jnp.asarray(q), jnp.asarray(s_sizes),
                 jnp.asarray(index.uniq_hash),
                 jnp.asarray(index.row_start.astype(np.int32)),
                 jnp.asarray(index.row_len),
-                jnp.asarray(index.post_seqid), jnp.asarray(index.post_wpos),
+                jnp.asarray(post_gpos),
                 jnp.asarray(np.int32(min(thr, INT_MAX))),
-                jnp.asarray(tab), jnp.asarray(index.hash_bucket),
+                jnp.asarray(tab),
+                jnp.asarray(np.stack(
+                    [index.hash_bucket[:-1], index.hash_bucket[1:]],
+                    axis=-1,
+                )),
                 128, 64, params.min_read_length, index.bucket_steps,
+                m_values,
             )
-            iv_valid = np.asarray(out[3])
-            ovf = bool(np.asarray(out[4])) or bool(np.asarray(out[5]))
+            iv_valid = np.asarray(out[2])
+            ovf = bool(np.asarray(out[3])) or bool(np.asarray(out[4]))
             assert not ovf
             assert int(iv_valid[0].sum()) == exp0
             assert int(iv_valid[1].sum()) == exp1
