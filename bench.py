@@ -128,6 +128,7 @@ def main():
     t0 = time.time()
     nfrag = sum(len(q) // 3000 for q in queries)
     warm_report = session.warmup([nfrag])
+    session.query_many([[q] for q in queries])  # untimed steady-state pass
     t_warm = time.time() - t0
     _log(f"warmup done in {t_warm:.1f}s {warm_report}")
 
@@ -163,16 +164,49 @@ def main():
     _log(f"host ingest winnow: {winnow_mbp_s:.0f} Mbp/s (C, AVX2 + 2 threads)")
     detail["winnow_mbp_s"] = round(winnow_mbp_s, 1)
 
-    # device chunked winnow (ops/winnow2d): the TPU-local ingest path
-    from pyfastani_tpu.ops.fragments import winnow_long_sequence
+    # device chunked winnow (ops/winnow2d).  Two figures: end-to-end
+    # ingest (h2d + winnow + compaction + d2h each chunk -- bounded by
+    # the ~10-40 MB/s tunnel d2h, so NOT a compute measure on this
+    # platform) and compute-only (device-resident outputs), which is the
+    # honest number for pipelines whose sequences live on device.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from pyfastani_tpu.ops import winnow2d as _w2d
+    from pyfastani_tpu.ops.fragments import (
+        _CHUNK_WINDOWS, _winnow_chunk2d_jit, winnow_long_sequence,
+    )
 
     wdata = np.frombuffer(win_buf, np.uint8)
-    winnow_long_sequence(wdata[:100_000], 16, 24, False)  # compile
+    winnow_long_sequence(wdata[:100_000], 16, 24, False)  # compile small
     t0 = time.time()
     winnow_long_sequence(wdata, 16, 24, False)
     winnow_dev = len(win_buf) / 1e6 / (time.time() - t0)
-    _log(f"device chunked winnow: {winnow_dev:.0f} Mbp/s")
+    _log(f"device chunked winnow (e2e, d2h-bound): {winnow_dev:.0f} Mbp/s")
     detail["winnow_device_mbp_s"] = round(winnow_dev, 1)
+
+    B = _CHUNK_WINDOWS
+    R = _w2d.chunk_slice_rows(B, 24, 16)
+    sl = np.zeros(R * 128, np.uint8)
+    sl[: min(wdata.shape[0], R * 128)] = wdata[: R * 128]
+    sl_dev = _jax.device_put(_jnp.asarray(sl.reshape(R, 128)))
+    carry = (
+        _jnp.asarray(False), _jnp.asarray(0, _jnp.int32),
+        _jnp.asarray(False), _jnp.asarray(0, _jnp.uint32),
+    )
+    cap = max(1024, (-(-4 * B // 25) // 128) * 128)
+    args = (np.int32(R * 128 - 15), np.int32(0), np.int32(B), carry,
+            16, 24, B, False, True, cap)
+    out = _winnow_chunk2d_jit(sl_dev, *args)
+    _jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 8
+    for _ in range(reps):
+        out = _winnow_chunk2d_jit(sl_dev, *args)
+    _jax.block_until_ready(out)
+    winnow_dev_c = reps * B / 1e6 / (time.time() - t0)
+    _log(f"device winnow compute-only: {winnow_dev_c:.0f} Mbp/s")
+    detail["winnow_device_compute_mbp_s"] = round(winnow_dev_c, 1)
 
     # ---- self-measured CPU denominator (BASELINE.md:5-7) -------------------
     # the repo's own spec engine (numpy backend) on THIS host, same
@@ -210,10 +244,12 @@ def main():
     _log(f"ava session init (index park h2d): {t_ava_park:.1f}s")
     t0 = time.time()
     warm_report = session.warmup()  # the full-capacity dispatch bucket
+    t_ava_compile = time.time() - t0
+    session.query_many([[g] for g in genomes])  # untimed steady-state pass
     t_ava_warm = time.time() - t0
     _log(
-        f"ava warmup {t_ava_warm:.1f}s {warm_report} "
-        f"(variants: {session.stats['compiled_variants']})"
+        f"ava warmup {t_ava_warm:.1f}s (compile {t_ava_compile:.1f}s "
+        f"{warm_report}; variants: {session.stats['compiled_variants']})"
     )
 
     t0 = time.time()

@@ -2,7 +2,7 @@
 
 Query-time device work lives in `parallel.sharded` (one fused program
 per dispatch); this module keeps the device-side *ingest* path -- the
-chunked long-sequence winnow used when ``PYFASTANI_TPU_SKETCH_DEVICE=1``
+chunked long-sequence winnow for device-resident pipelines
 (bitwise identical to the host C/NumPy winnow).
 """
 

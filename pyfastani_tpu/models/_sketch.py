@@ -259,16 +259,15 @@ class Sketch(_Parameterized):
 
     def _winnow(self, data: np.ndarray):
         # Reference ingestion is host data-loading work: one native C pass
-        # (murmur3 + monotone deque, exact reference semantics) is orders of
-        # magnitude cheaper than round-tripping genome-length minimizer
-        # arrays through the device interconnect.  The device long-sequence
-        # winnow (`_engine_jax.winnow_sequence_device`, bitwise identical)
-        # remains available for TPU-local deployments via
-        # ``PYFASTANI_TPU_SKETCH_DEVICE=1``.
-        if self._backend == "jax" and os.environ.get("PYFASTANI_TPU_SKETCH_DEVICE"):
-            from . import _engine_jax
-
-            return _engine_jax.winnow_sequence_device(data, self._param)
+        # (murmur3 + monotone deque, exact reference semantics).  Sketch
+        # ingestion ALWAYS winnows on host: the index build consumes the
+        # minimizers host-side, and device->host transfer of a
+        # genome-length minimizer stream is bounded by the interconnect
+        # (~10-40 MB/s on the measured TPU tunnel == a ~30 Mbp/s ingest
+        # ceiling, far below this C path).  The bitwise-identical device
+        # winnow (`ops.fragments.winnow_long_sequence`) remains a library
+        # op for pipelines whose sequences already live on device -- its
+        # in-program form is what the query path runs.
         from .. import _native
 
         if _native.HAVE_NATIVE:

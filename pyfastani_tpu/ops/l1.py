@@ -66,6 +66,9 @@ __all__ = ["l1_candidates_device"]
 # after one execution and then get lifted into extra executable parameters
 # on re-trace, which this platform's dispatch fast path drops
 _BIG = np.int32(2**30)
+# padding sentinel for global-position values (> any real gpos; real
+# per-shard spans are capped ~1 Gbp below it at index build)
+_GBIG = np.int32(2**31 - 2**20)
 
 _SCAN_COLS = 512  # 2-level scan row width
 
@@ -203,7 +206,7 @@ def l1_candidates_device(
     src_c = jnp.clip(src, 0, max(M - 1, 0))
     hit_frag = jnp.where(valid_t, seg // S, F)
     m_t = jnp.where(valid_t, at_probe[:, 1], 1)
-    hit_gpos = jnp.where(valid_t, post_gpos[src_c], _BIG)  # (T,) one gather
+    hit_gpos = jnp.where(valid_t, post_gpos[src_c], _GBIG)  # (T,) one gather
 
     # --- sort hits by (fragment, gpos) --------------------------------------
     # gpos is (seqId, wpos)-lexicographic by construction, so this is the
@@ -219,7 +222,7 @@ def l1_candidates_device(
     hits2 = jnp.stack([hit_frag, hit_gpos], axis=1)  # (T, 2)
     mmax = max(m_values)
     padded = jnp.concatenate(
-        [hits2, jnp.full((mmax, 2), _BIG, jnp.int32)], axis=0
+        [hits2, jnp.full((mmax, 2), _GBIG, jnp.int32)], axis=0
     )
     v0 = m_values[0]
     at_j2 = jax.lax.dynamic_slice_in_dim(padded, v0 - 1, T, axis=0)
@@ -233,7 +236,7 @@ def l1_candidates_device(
     gpos_j2 = at_j2[:, 1]
     cand_ok = (
         (hit_frag < F)
-        & (hit_gpos < _BIG)
+        & (hit_gpos < _GBIG)
         & (t_idx + m_t - 1 < T)
         & (frag_j2 == hit_frag)
         & (gpos_j2 - hit_gpos < l)  # same contig implied: gaps >= l + 8
@@ -283,8 +286,8 @@ def l1_candidates_device(
     )
     packed = jnp.stack(
         [
-            jnp.where(cand_ok, -cand_gstart, -_BIG),
-            jnp.where(cand_ok, cand_gend, -_BIG),
+            jnp.where(cand_ok, -cand_gstart, -_GBIG),
+            jnp.where(cand_ok, cand_gend, -_GBIG),
         ],
         axis=1,
     )  # (T, 2)

@@ -281,9 +281,10 @@ def _kernel(
 
 # chunks per pallas_call: the (N,) scalar-prefetch + output arrays are
 # SMEM-resident for the whole grid, and SMEM is ~1 MB -- an unsegmented
-# 12k-chunk call OOMs it.  2048 chunks x 10 arrays x 4 B (double
-# buffered) stays well under the budget.
-_NSEG = 2048
+# 12k-chunk call OOMs it.  4096 chunks x 10 arrays x 4 B (double
+# buffered, ~330 KB) stays under the budget while halving the segment
+# count relative to 2048.
+_NSEG = 4096
 
 
 @functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
@@ -306,10 +307,25 @@ def _l2_pallas_impl(
         outs = []
         for s in range(n_seg):
             sl = [a[s * _NSEG : (s + 1) * _NSEG] for a in scal]
-            outs.append(
-                _l2_pallas_impl.__wrapped__(
+
+            def _run(sl=sl):
+                return _l2_pallas_impl.__wrapped__(
                     *sl, slabs, q_pad, Rr, Sc, cmw, interpret
                 )
+
+            def _skip(sl=sl):
+                # the kernel's defaults for empty slots: (-1, c0, c0)
+                c0_seg = sl[4]
+                return (
+                    jnp.full((_NSEG,), -1, jnp.int32), c0_seg, c0_seg,
+                )
+
+            # live chunks are compacted at the front of the slot axis
+            # (interval prefix sums), so whole tail segments skip the
+            # kernel with one branch -- over-provisioned chunk budgets
+            # cost ~nothing instead of ~1 us of grid overhead per slot
+            outs.append(
+                jax.lax.cond(jnp.any(sl[2] > 0), _run, _skip)
             )
         return (
             jnp.concatenate([o[0] for o in outs])[:N],

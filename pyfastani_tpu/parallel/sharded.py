@@ -48,6 +48,12 @@ from ..ops.l2_pallas import mini_prev_from_index
 __all__ = ["ShardedIndex", "ShardedSession", "build_sharded_index", "sharded_query"]
 
 _BIG = 2**30
+# padding sentinel for GLOBAL-position arrays: per-shard global
+# coordinates legitimately exceed 2**30 once a shard holds > ~1 Gbp of
+# reference (the 512-genome bench does), so gpos pads use a sentinel
+# near the int32 ceiling.  Real gpos + the comparison window (l) must
+# stay below it -- enforced at build time.
+_GBIG = 2**31 - 2**20
 
 
 @dataclasses.dataclass
@@ -150,7 +156,7 @@ def _build_gpos_bucket(mini_gpos: np.ndarray):
     simply sized to ~16 entries per bucket, capped at 2^22 (16 MB)."""
     n, M = mini_gpos.shape
     m_real = [
-        int(np.searchsorted(mini_gpos[sh], np.int64(_BIG) - 1))
+        int(np.searchsorted(mini_gpos[sh], np.int32(_GBIG - 1)))
         for sh in range(n)
     ]
     max_gpos = 1
@@ -264,6 +270,12 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         off = np.zeros(n_ctg_max + 1, dtype=np.int64)
         off[1 : C + 1] = np.cumsum(spans)
         off[C + 1 :] = off[C]
+        if int(off[C]) > _GBIG - 2 * mapper._param.min_read_length:
+            raise ValueError(
+                f"shard reference span {int(off[C])} bp exceeds the 32-bit "
+                f"global-coordinate budget (~{_GBIG/1e9:.1f} Gbp per "
+                "shard); partition across more shards"
+            )
         offsets.append(off.astype(np.int32))
         gpos.append(
             (off[sub.mini_seqid] + sub.mini_wpos).astype(np.int32)
@@ -305,7 +317,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         bucket_tabs.append(tab)
         bucket_steps_all.append(steps)
 
-    gpos2d = pad2(gpos, _BIG, np.int32)
+    gpos2d = pad2(gpos, _GBIG, np.int32)
     gpos_bucket, gpos_shift, gpos_steps = _build_gpos_bucket(gpos2d)
 
     return ShardedIndex(
@@ -336,7 +348,7 @@ def build_sharded_index(mapper, n_shards: int) -> ShardedIndex:
         gpos_bucket=gpos_bucket,
         gpos_shift=gpos_shift,
         gpos_steps=gpos_steps,
-        post_gpos=pad2(post_gpos, _BIG, np.int32),
+        post_gpos=pad2(post_gpos, _GBIG, np.int32),
     )
 
 
@@ -783,7 +795,7 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         worst = 1
         for sh in range(sidx.n_shards):
             gpos = sidx.mini_gpos[sh]
-            m_real = int(np.searchsorted(gpos, np.int32(_BIG - 1)))
+            m_real = int(np.searchsorted(gpos, np.int32(_GBIG - 1)))
             if m_real == 0:
                 continue
             # exact densest cmax+cmw window, one two-pointer C pass
@@ -795,11 +807,21 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         rmax = min(_round_up(worst + 8 + 128, 1024) - 128, 8192 - 128)
 
     n_post = sum(
-        int(np.searchsorted(sidx.mini_gpos[sh], np.int32(_BIG - 1)))
+        int(np.searchsorted(sidx.mini_gpos[sh], np.int32(_GBIG - 1)))
         for sh in range(sidx.n_shards)
     )
     n_uniq = int((sidx.uniq_hash != np.uint32(0xFFFFFFFF)).sum())
     mean_row = (n_post / n_uniq) if n_uniq else 1.0
+    # the expected seed hits per QUERY hash are SIZE-BIASED: a hash shared
+    # by k reference genomes appears in ~k genomes' sketches, so a hash
+    # drawn from a genome-like query lands on a row with probability
+    # proportional to the row's length -- E[r^2]/E[r], not E[r].  (The
+    # r04 formula used E[r] and under-provisioned hmax by ~1.5x on
+    # family-structured panels, escalating mid-run.)
+    rl64 = sidx.row_len.astype(np.float64)
+    sum_r = float(rl64.sum())
+    biased_row = float((rl64 * rl64).sum() / sum_r) if sum_r else 1.0
+    biased_row = max(biased_row, mean_row, 1.0)
 
     hmax = overrides.get("hmax")
     if not hmax:
@@ -815,7 +837,7 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         # variance averages out by CLT; every T-sized L1 pass scales with
         # this margin, and escalation (one recompile per session) covers
         # distribution shifts
-        hmax = _round_up(max(1.3 * s_hat * mean_row, 384), 128)
+        hmax = _round_up(max(1.3 * s_hat * biased_row, 384), 128)
         hmax = min(hmax, 16384)
 
     # bin_max: reference-position bins per contig.  Bins index
@@ -846,7 +868,7 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
         # relayout copies the round-5 trace exposed) scales with this;
         # real interval counts are ~1 per similar genome, so floor 16
         # with escalation instead of the old floor 48
-        ivmax = min(max(_round_up(int(6 * mean_row) + 10, 8), 16), 256)
+        ivmax = min(max(_round_up(int(6 * biased_row) + 10, 8), 16), 256)
 
     # t_chunks: average L2 chunks per fragment.  Expected candidate
     # intervals per fragment ~= genomes sharing its minimizers ~= the mean
@@ -858,11 +880,13 @@ def _presize_budgets(sidx: "ShardedIndex", params, overrides: dict) -> dict:
     # across l-sized windows, so budget 4 chunks per row-mate + slack)
     t_chunks = overrides.get("t_chunks")
     if not t_chunks:
-        # every chunk SLOT costs ~1 us of Pallas grid overhead even when
-        # skipped (round-5 trace), so the budget tracks the expected mean
-        # (~1 chunk per similar genome ~ mean_row) with a 3x factor
-        # instead of 4x+4 -- escalation covers distribution shifts
-        t_chunks = max(4, int(np.ceil(3.0 * mean_row)) + 2)
+        # chunks per fragment are driven by WEAKLY similar genomes (one
+        # interval each from just m shared hashes), which no row
+        # statistic predicts tightly -- the 512-genome cross-family
+        # bench measured ~15-25 real chunks/fragment where the row mean
+        # suggested ~9.  Over-provisioning is cheap now (empty kernel
+        # segments skip with one branch), so budget generously
+        t_chunks = max(12, int(np.ceil(8.0 * biased_row)) + 8)
 
     return dict(
         hmax=int(hmax),
@@ -928,7 +952,7 @@ class ShardedSession:
         if sidx.post_gpos is None:
             # checkpoint predating the posting-gpos plane: rebuild it from
             # the posting coordinates + contig offsets
-            pg = np.full_like(sidx.post_wpos, _BIG)
+            pg = np.full_like(sidx.post_wpos, _GBIG)
             for sh in range(sidx.n_shards):
                 ps = sidx.post_seqid[sh]
                 real = ps < sidx.contig_offset.shape[1] - 1

@@ -178,3 +178,42 @@ class TestEndToEndThreshold:
             assert not ovf
             assert int(iv_valid[0].sum()) == exp0
             assert int(iv_valid[1].sum()) == exp1
+
+
+def test_device_l1_beyond_2_30_gpos():
+    """Global positions legitimately exceed 2**30 once a shard holds
+    > ~1 Gbp of reference (the 512-genome bench).  The L1 padding
+    sentinel must stay above every real gpos -- this probes a posting
+    block parked beyond 2**30 (regression: the old 2**30 sentinel made
+    deep-shard hits indistinguishable from padding -> zero hits)."""
+    import jax.numpy as jnp
+
+    from pyfastani_tpu.ops.l1 import l1_candidates_device
+
+    l = 3000
+    base = np.int32(2**30 + 12345)
+    # two hashes, each with one posting 100 bp apart at gpos > 2**30
+    uniq = np.asarray([100, 200], np.uint32)
+    row_start = np.asarray([0, 1], np.int32)
+    row_len = np.asarray([1, 1], np.int32)
+    post_gpos = np.asarray([base, base + 100], np.int32)
+    q = np.full((1, 4), 0xFFFFFFFF, np.uint32)
+    q[0, 0], q[0, 1] = 100, 200
+    s_sizes = np.asarray([2], np.int32)
+    tab = np.full(l + 1, 2, np.int32)  # m = 2: both hits required
+    hb_full = np.asarray([0, 2], np.int32)  # 1-bit prefix table... build 2^1
+    hb = np.stack([np.asarray([0, 2], np.int32), np.asarray([2, 2], np.int32)])
+    # proper (2^bits, 2) pair table for bits=1: bucket 0 covers all rows
+    pair = np.asarray([[0, 2], [2, 2]], np.int32)
+    out = l1_candidates_device(
+        jnp.asarray(q), jnp.asarray(s_sizes), jnp.asarray(uniq),
+        jnp.asarray(row_start), jnp.asarray(row_len),
+        jnp.asarray(post_gpos), jnp.asarray(np.int32(2**31 - 1)),
+        jnp.asarray(tab), jnp.asarray(pair),
+        16, 8, l, 4, (2,),
+    )
+    iv_g0, iv_g1, iv_valid = (np.asarray(out[0]), np.asarray(out[1]),
+                              np.asarray(out[2]))
+    assert int(iv_valid.sum()) == 1
+    assert iv_g1[0, 0] == base  # cand_end = first hit's gpos
+    assert iv_g0[0, 0] == base + 100 - l + 1
