@@ -50,6 +50,7 @@ MUT_RATE = 0.03
 # minFraction gates (VERDICT r04 #5: CGI filtering must be non-trivial
 # at scale, not just 4-cliques)
 CROSS_RATE = 0.09
+AVA_CROSS = os.environ.get("BENCH_AVA_CROSS", "1") != "0"
 
 
 def _mutate(rng, base, rate):
@@ -80,11 +81,12 @@ def _ava_genomes():
     out = []
     prev_base = None
     for fam in range(-(-AVA_GENOMES // AVA_FAMILY)):
-        if fam % 2 == 1 and prev_base is not None:
+        if AVA_CROSS and fam % 2 == 1 and prev_base is not None:
             base = _mutate(rng, prev_base, CROSS_RATE)
         else:
+            fi = (fam // 2) if AVA_CROSS else fam
             base = rng.choice(
-                alphabet, size=AVA_LENGTHS[(fam // 2) % len(AVA_LENGTHS)]
+                alphabet, size=AVA_LENGTHS[fi % len(AVA_LENGTHS)]
             )
         prev_base = base
         for _ in range(min(AVA_FAMILY, AVA_GENOMES - len(out))):

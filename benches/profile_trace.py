@@ -144,6 +144,29 @@ def summarize(outdir, top=30):
 # workload: the F=2688 single-shard query block from profile_stages.py
 # ---------------------------------------------------------------------------
 
+def _family_panel(n_genomes, rng):
+    """bench.py's family/cross-family panel at a reduced genome count
+    (identical budget statistics: biased row length, chunk density)."""
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    lengths = [1000000, 2000000, 3000000, 5000000]
+    out = []
+    prev_base = None
+    for fam in range(-(-n_genomes // 4)):
+        if fam % 2 == 1 and prev_base is not None:
+            base = prev_base.copy()
+            idx = rng.random(base.shape[0]) < 0.09
+            base[idx] = rng.choice(alphabet, size=int(idx.sum()))
+        else:
+            base = rng.choice(alphabet, size=lengths[(fam // 2) % 4])
+        prev_base = base
+        for _ in range(min(4, n_genomes - len(out))):
+            arr = base.copy()
+            idx = rng.random(arr.shape[0]) < 0.03
+            arr[idx] = rng.choice(alphabet, size=int(idx.sum()))
+            out.append(arr.tobytes())
+    return out
+
+
 def build_fullfn():
     import jax
     import jax.numpy as jnp
@@ -154,13 +177,29 @@ def build_fullfn():
 
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
-    refs = [rng.choice(alphabet, size=REF_LEN).tobytes() for _ in range(N_REFS)]
-    queries = []
-    for i in range(N_QUERIES):
-        base = np.frombuffer(refs[i % N_REFS], dtype=np.uint8).copy()
-        idx = rng.random(base.shape[0]) < 0.03
-        base[idx] = rng.choice(alphabet, size=int(idx.sum()))
-        queries.append(base.tobytes())
+    n_ava = int(os.environ.get("BENCH_AVA", "0"))
+    if n_ava:
+        # ava mode: family panel index; one full dispatch group of
+        # queries (first genomes up to ~4096 fragments)
+        refs = _family_panel(n_ava, rng)
+        queries = []
+        nf = 0
+        for g in refs:
+            if nf + len(g) // 3000 > 4096:
+                break
+            queries.append(g)
+            nf += len(g) // 3000
+    else:
+        refs = [
+            rng.choice(alphabet, size=REF_LEN).tobytes()
+            for _ in range(N_REFS)
+        ]
+        queries = []
+        for i in range(N_QUERIES):
+            base = np.frombuffer(refs[i % N_REFS], dtype=np.uint8).copy()
+            idx = rng.random(base.shape[0]) < 0.03
+            base[idx] = rng.choice(alphabet, size=int(idx.sum()))
+            queries.append(base.tobytes())
 
     sketch = Sketch()
     for i, r in enumerate(refs):
@@ -200,7 +239,8 @@ def build_fullfn():
     static = dict(k=k, w=w, length=l, protein=False, l=l,
                   hmax=b["hmax"], ivmax=b["ivmax"], cmax=b["cmax"],
                   rmax=b["rmax"], t_chunks=b["t_chunks"], g_max=g_max,
-                  bin_max=b["bin_max"], smax=b["smax"], q_count=4,
+                  bin_max=b["bin_max"], smax=b["smax"],
+                  q_count=max(4, len(queries)),
                   bucket_steps=sidx.bucket_steps,
                   use_pallas=session._use_pallas,
                   m_values=tuple(sorted({int(max(int(v), 1))

@@ -273,35 +273,31 @@ def l1_candidates_device(
     n_iv = b_ext[jnp.clip(frag_next, 0, T)] - base
     ovf_iv = jnp.any(n_iv > ivmax)
 
-    # ONE packed segment reduction for the two interval aggregates:
-    # within a merged interval cand_gstart is nondecreasing (max of the
-    # negation == the min == the first member's) and cand_gend is
-    # nondecreasing (max == the last member's).  Segments are keyed by
-    # the GLOBAL interval id (b_cum - 1) -- fragment-local slots are
-    # recovered afterwards with one cheap (F, ivmax) gather, which
-    # avoids a per-hit base[hit_frag] lookup (a full T-sized gather).
-    gid = b_cum - 1
-    flat_seg = jnp.where(
-        cand_ok & (gid < F * ivmax), gid, F * ivmax
-    )
-    packed = jnp.stack(
-        [
-            jnp.where(cand_ok, -cand_gstart, -_GBIG),
-            jnp.where(cand_ok, cand_gend, -_GBIG),
-        ],
-        axis=1,
-    )  # (T, 2)
-    red_g = jax.ops.segment_max(
-        packed, flat_seg, num_segments=F * ivmax + 1
-    )[: F * ivmax]  # (F*ivmax, 2) in global interval order
+    # Interval aggregates WITHOUT a T-sized scatter (the packed
+    # segment_max was the single largest XLA op of the all-vs-all
+    # dispatch).  Global interval j occupies the slot range
+    # [pos_b[j], pos_b[j+1]) where pos_b[j] = first t with b_cum >= j+1
+    # (a searchsorted over the monotone boundary prefix sum, NI keys);
+    # its first member IS the boundary slot (iv_g0 = cand_gstart there,
+    # the minimum -- gstart is nondecreasing within an interval), and
+    # its last member is the last candidate at-or-before the next
+    # boundary (an exclusive cummax of candidate slot indices + one NI
+    # gather; iv_g1 = that slot's cand_gend, the maximum).
+    NI = F * ivmax
+    targets = jnp.arange(1, NI + 2, dtype=jnp.int32)
+    pos_b = jnp.searchsorted(b_cum, targets, side="left").astype(jnp.int32)
+    lastc = _scan2(jax.lax.cummax, jnp.where(cand_ok, t_idx, -1))
+    e = jnp.clip(pos_b[1:] - 1, 0, T - 1)  # (NI,) end slot of interval j
+    last_slot = jnp.clip(lastc[e], 0, T - 1)
+    g0_flat = cand_gstart[jnp.clip(pos_b[:NI], 0, T - 1)]
+    g1_flat = cand_gend[last_slot]
     take = jnp.clip(
         base[:, None] + jnp.arange(ivmax, dtype=jnp.int32)[None, :],
         0,
-        F * ivmax - 1,
+        NI - 1,
     )
-    red = red_g[take]  # (F, ivmax, 2)
-    iv_g0 = -red[:, :, 0]
-    iv_g1 = red[:, :, 1]
+    iv_g0 = g0_flat[take]
+    iv_g1 = g1_flat[take]
     iv_valid = (
         jnp.arange(ivmax, dtype=jnp.int32)[None, :]
         < jnp.minimum(n_iv, ivmax)[:, None]

@@ -137,53 +137,77 @@ def _kernel(
     best_ref,  # (N,) i32
     first_ref,  # (N,) i32
     last_ref,  # (N,) i32
-    # scratch
-    s3,  # (3, Rr, 128) i32: [hash bits, wpos, prev] -- ONE DMA fills all
-    q_s,  # (8, Sc) u32
+    # scratch (double-buffered: see the pipelined-DMA note below)
+    s3,  # (2, 3, Rr, 128) i32: [hash bits, wpos, prev] -- ONE DMA per slot
+    q_s,  # (2, 8, Sc) u32
     acc_s,  # (Rr, 128) i32 stabbing-count accumulator
-    sem,  # DMA semaphores (2,)
+    sem,  # DMA semaphores (4,): [slab slot 0/1, q slot 0/1]
     *,
     Rr: int,
     Sc: int,
     cmw: int,
+    band: int,
 ):
     i = pl.program_id(0)
-    row = row_ref[i]
-    # q rows wider than 128 lanes need an 8-aligned row offset; DMA the
-    # aligned 8-row group and select the fragment's row in-register
-    frag = frag_ref[i]
-    fbase = (frag // 8) * 8
-    fsub = frag - fbase
-
+    nsteps = pl.num_programs(0)
     ofs = ofs_ref[i]
     rlen = rlen_ref[i]
     c0 = c0_ref[i]
     clen = clen_ref[i]
-    seq = seq_ref[i]
+    slot = jax.lax.rem(i, 2)
 
-    # default outputs; overwritten by the live branch below.  Padding
-    # chunk slots (the t_chunks over-provisioning) and empty ranges skip
-    # ALL DMAs and compute -- on sparse workloads most grid steps are
-    # padding, so this halves-or-better the kernel wall time.
+    # --- software-pipelined DMAs -------------------------------------------
+    # The per-chunk DMA latency (~2 us for the slab + sketch copies) was
+    # over a third of the kernel's per-chunk cost (round-5 ava trace);
+    # double-buffered scratch + issuing step i+1's copies before step i's
+    # compute hides it entirely.  Copies are RECONSTRUCTED to wait (the
+    # standard Pallas pattern); padding steps (rlen == 0) neither issue
+    # nor wait, and any live/padding interleaving is safe because every
+    # step prefetches for its successor.
+    def _cp_slab(j, s):
+        return pltpu.make_async_copy(
+            slabs_ref.at[:, pl.ds(row_ref[j], Rr)], s3.at[s], sem.at[s]
+        )
+
+    def _cp_q(j, s):
+        # q rows wider than 128 lanes need an 8-aligned row offset; DMA
+        # the aligned 8-row group and select the row in-register
+        fb = (frag_ref[j] // 8) * 8
+        return pltpu.make_async_copy(
+            q_ref.at[pl.ds(fb, 8)], q_s.at[s], sem.at[2 + s]
+        )
+
+    live_here = (rlen > 0) & (clen > 0)
+
+    @pl.when((i == 0) & live_here)
+    def _first_issue():
+        _cp_slab(i, slot).start()
+        _cp_q(i, slot).start()
+
+    nxt = jnp.minimum(i + 1, nsteps - 1)
+
+    @pl.when(
+        (i + 1 < nsteps) & (rlen_ref[nxt] > 0) & (clen_ref[nxt] > 0)
+    )
+    def _prefetch():
+        ns = jax.lax.rem(i + 1, 2)
+        _cp_slab(nxt, ns).start()
+        _cp_q(nxt, ns).start()
+
+    # default outputs; overwritten by the live branch below
     best_ref[i] = jnp.int32(-1)
     first_ref[i] = c0
     last_ref[i] = c0
 
-    @pl.when((rlen > 0) & (clen > 0))
+    @pl.when(live_here)
     def _live():
-        # one DMA covers all three minimizer planes (the issue/wait
-        # overhead of separate per-plane copies is paid per grid step)
-        cp_m = pltpu.make_async_copy(
-            slabs_ref.at[:, pl.ds(row, Rr)], s3, sem.at[0]
-        )
-        cp_q = pltpu.make_async_copy(q_ref.at[pl.ds(fbase, 8)], q_s, sem.at[1])
-        cp_m.start()
-        cp_q.start()
-        cp_m.wait()
-        cp_q.wait()
-        rh_s = s3.at[0]
-        rp_s = s3.at[1]
-        rv_s = s3.at[2]
+        _cp_slab(i, slot).wait()
+        _cp_q(i, slot).wait()
+        frag = frag_ref[i]
+        fsub = frag - (frag // 8) * 8
+        rh_s = s3.at[slot, 0]
+        rp_s = s3.at[slot, 1]
+        rv_s = s3.at[slot, 2]
 
         flat = jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 0) * 128 + (
             jax.lax.broadcasted_iota(jnp.int32, (Rr, 128), 1)
@@ -199,7 +223,9 @@ def _kernel(
         # per-block column T[:, b:b+1] then broadcasts naturally.  All
         # transposed quantities are exact in f32: positions < 2^24
         # (enforced by the caller), sentinels are powers of two, and
-        # hashes travel as two u16 halves.
+        # hashes travel as two u16 halves.  The interval-side validity
+        # needs NO transpose: it is a pure function of the element index,
+        # rebuilt from iota in the transposed layout.
         ident = (
             jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -219,16 +245,31 @@ def _kernel(
             )
 
         rh_i = rh_s[...]  # hash bit pattern as i32
-        rpT = _t(rp.astype(jnp.float32))
-        rhT_hi = _t(((rh_i >> 16) & 0xFFFF).astype(jnp.float32))
-        rhT_lo = _t((rh_i & 0xFFFF).astype(jnp.float32))
-        rvT = _t(rv_s[...].astype(jnp.float32))
-        validT = _t(valid.astype(jnp.float32))
+        # ONE (4*Rr, 128) dot instead of four (Rr, 128) dots: the same
+        # MACs, but the MXU pass latency amortizes over a 4x-taller
+        # operand (the four transposes were latency-bound)
+        x4 = jnp.concatenate(
+            [
+                rp.astype(jnp.float32),
+                ((rh_i >> 16) & 0xFFFF).astype(jnp.float32),
+                (rh_i & 0xFFFF).astype(jnp.float32),
+                rv_s[...].astype(jnp.float32),
+            ],
+            axis=0,
+        )
+        t4 = _t(x4)  # (128, 4*Rr)
+        rpT = t4[:, 0 * Rr : 1 * Rr]
+        rhT_hi = t4[:, 1 * Rr : 2 * Rr]
+        rhT_lo = t4[:, 2 * Rr : 3 * Rr]
+        rvT = t4[:, 3 * Rr : 4 * Rr]
+        # transposed-layout element index: entry [u, jb] is element
+        # jb*128 + u of the range slab
+        uT = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
         # the fragment's sketch row, as u16-half f32 lane vectors
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, Sc), 0)
         q_i32 = jnp.where(
-            row_ids == fsub, q_s[...].astype(jnp.int32), jnp.int32(0)
+            row_ids == fsub, q_s[slot].astype(jnp.int32), jnp.int32(0)
         )
         q_row = jnp.sum(q_i32, axis=0, keepdims=True)  # (1, Sc) i32
         q_hi = ((q_row >> 16) & 0xFFFF).astype(jnp.float32)
@@ -251,14 +292,22 @@ def _kernel(
                 st = jnp.maximum(pj - (cmw - 1), rvT[:, jb : jb + 1] + 1)
                 # sketch membership via dense any-equal on the u16 halves
                 # (UMAX padding can only match masked-off slots, which
-                # validT excludes)
+                # the iota validity excludes)
                 eq = (rhT_hi[:, jb : jb + 1] == q_hi) & (
                     rhT_lo[:, jb : jb + 1] == q_lo
                 )  # (128, Sc)
                 in_q = jnp.any(eq, axis=1, keepdims=True)  # (128, 1)
-                cd = in_q & (validT[:, jb : jb + 1] > 0.5)
+                ej = jb * 128 + uT
+                cd = in_q & (ej >= ofs) & (ej < ofs + rlen)
 
-                for ab in range(Rr):
+                # positions ascend along the slab, so an interval in
+                # block jb can only stab anchors in blocks [jb - band,
+                # jb]: anchors after jb have pa > pj, anchors more than
+                # the densest cmw-window's entry count behind have
+                # pa < st.  ``band`` is exact (densest-window statistic
+                # of the shard), so the triangular-banded loop is a pure
+                # skip of provably-zero pairs.
+                for ab in range(max(0, jb - band), jb + 1):
 
                     @pl.when(ab * 128 < ofs + rlen)
                     def _ablk(jb=jb, ab=ab, st=st, pj=pj, cd=cd):
@@ -287,10 +336,12 @@ def _kernel(
 _NSEG = 4096
 
 
-@functools.partial(jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("Rr", "Sc", "cmw", "interpret", "band")
+)
 def _l2_pallas_impl(
     row, ofs, rlen, frag, c0, clen, seq, slabs, q_pad,
-    Rr: int, Sc: int, cmw: int, interpret: bool = False,
+    Rr: int, Sc: int, cmw: int, interpret: bool = False, band: int = None,
 ):
     N = row.shape[0]
     if N > _NSEG:
@@ -310,7 +361,7 @@ def _l2_pallas_impl(
 
             def _run(sl=sl):
                 return _l2_pallas_impl.__wrapped__(
-                    *sl, slabs, q_pad, Rr, Sc, cmw, interpret
+                    *sl, slabs, q_pad, Rr, Sc, cmw, interpret, band
                 )
 
             def _skip(sl=sl):
@@ -332,17 +383,21 @@ def _l2_pallas_impl(
             jnp.concatenate([o[1] for o in outs])[:N],
             jnp.concatenate([o[2] for o in outs])[:N],
         )
-    kern = functools.partial(_kernel, Rr=Rr, Sc=Sc, cmw=cmw)
+    if band is None:
+        band = Rr - 1  # no statistic available: full triangle
+    kern = functools.partial(
+        _kernel, Rr=Rr, Sc=Sc, cmw=cmw, band=min(band, Rr - 1)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(N,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((3, Rr, 128), jnp.int32),
-            pltpu.VMEM((8, Sc), jnp.uint32),
+            pltpu.VMEM((2, 3, Rr, 128), jnp.int32),
+            pltpu.VMEM((2, 8, Sc), jnp.uint32),
             pltpu.VMEM((Rr, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(

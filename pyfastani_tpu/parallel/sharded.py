@@ -382,7 +382,7 @@ def _l2_interval_scan(
     q_sorted, s_sizes, frag_of_iv, iv_seq, iv_c0, iv_c1, iv_valid,
     mini_hash, mini_wpos, mini_seqid, mini_gpos, mini_prev, contig_offset,
     cmw: int, cmax: int, rmax: int, ch_max: int, use_pallas: bool = False,
-    pallas_idx=None, gpos_aux=None,
+    pallas_idx=None, gpos_aux=None, l2_band=None,
 ):
     """(best, first, last, ovf_chunks, ovf_r) per interval.
 
@@ -478,7 +478,7 @@ def _l2_interval_scan(
         interp = os.environ.get("PYFASTANI_TPU_PALLAS_INTERPRET") == "1"
         cbest, cfirst, clast = _l2_pallas_impl.__wrapped__(
             lo // 128, lo % 128, rlen, ch_frag, ch_c0, clen_eff, ch_seq,
-            slabs, q_pad, Rr, Sc, cmw, interp,
+            slabs, q_pad, Rr, Sc, cmw, interp, l2_band,
         )
         rovf = rovf[None]
     else:
@@ -541,7 +541,7 @@ def _query_block_impl(
     hmax: int, ivmax: int, cmax: int, rmax: int, t_chunks: int,
     g_max: int, bin_max: int, smax: int = 512, q_count: int = 1,
     bucket_steps: int = 21, use_pallas: bool = False, pallas_idx=None,
-    gpos_aux=None, m_values: tuple = (1, 2, 3, 4),
+    gpos_aux=None, m_values: tuple = (1, 2, 3, 4), l2_band=None,
 ):
     """Device-only query step for one fragment block vs one index shard.
 
@@ -599,7 +599,7 @@ def _query_block_impl(
         frag_of_iv, iv_seq, iv_c0, iv_c1,
         iv_valid.reshape(-1), mini_hash, mini_wpos, mini_seqid, mini_gpos,
         mini_prev, contig_offset, cmw, cmax, rmax, ch_max, use_pallas,
-        pallas_idx, gpos_aux,
+        pallas_idx, gpos_aux, l2_band,
     )
     # per-budget overflow flags: [smax, hmax, ivmax, t_chunks, rmax]
     ovf_vec = jnp.stack([
@@ -666,7 +666,7 @@ _query_block = functools.partial(
     static_argnames=(
         "k", "w", "length", "protein", "l", "hmax", "ivmax", "cmax", "rmax",
         "t_chunks", "g_max", "bin_max", "smax", "q_count", "bucket_steps",
-        "use_pallas", "m_values",
+        "use_pallas", "m_values", "l2_band",
     ),
 )(_query_block_impl)
 
@@ -1155,6 +1155,20 @@ class ShardedSession:
         bucket_steps = self.sidx.bucket_steps
 
         use_pallas = self._use_pallas and _pallas_ok(self.sidx, b)
+        # exact stab band for the kernel's triangular block loop: the
+        # densest cmw-window entry count bounds how far back (in slab
+        # entries) an interval can stab, so block pairs outside the band
+        # are provably zero (ops/l2_pallas._kernel)
+        from .. import _native
+
+        cmw_ = l - (params.kmer_size - 1)
+        dmax = 1
+        for sh in range(self.sidx.n_shards):
+            g = self.sidx.mini_gpos[sh]
+            m_real = int(np.searchsorted(g, np.int32(_GBIG - 1)))
+            if m_real:
+                dmax = max(dmax, _native.densest_window(g[:m_real], cmw_))
+        l2_band = -(-(dmax - 1) // 128) + 1
         # the reachable min-hits values (static: drives the L1 window
         # check's shift-select, ops/l1.py)
         m_values = tuple(
@@ -1189,7 +1203,7 @@ class ShardedSession:
                 g_max, bin_max, b["smax"], q_count, bucket_steps,
                 use_pallas, p2d[0] if (use_pallas and use_hoist) else None,
                 (gb2[0], gpos_shift, gpos_steps) if gpos_steps else None,
-                m_values,
+                m_values, l2_band,
             )
             best_bin = jax.lax.pmax(best_bin, "data")
             ovf_vec = jax.lax.pmax(ovf_vec, "data")  # 0/1 flags: pmax == OR
