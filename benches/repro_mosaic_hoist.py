@@ -13,8 +13,17 @@ tries the candidate workarounds in order, each under a watchdog:
   3. raw parameter with donate_argnums
   4. raw parameter through lax.optimization_barrier
 
-Run: timeout 300 python benches/repro_mosaic_hoist.py
+Run: timeout 900 python benches/repro_mosaic_hoist.py
 Each case prints PASS / HANG(>Ns) / ERROR.
+
+FINDING (2026-08-21, TPU v5e / axon): all four cases PASS -- the
+minimal kernel does NOT reproduce the hang.  The production trigger
+needs the full context (a (3, Mr, 128) ANY-space operand whose plane is
+indexed inside the kernel, dispatched through a jit(shard_map(...))
+program at multi-hundred-MB operand sizes).  The in-graph slab rebuild
+stays as the default workaround (it costs ~3-5 ms per dispatch);
+`PYFASTANI_TPU_HOIST=1` re-enables the hoisted path for platforms
+without the bug.
 """
 import os
 import signal
@@ -24,7 +33,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WATCHDOG_S = 25
+WATCHDOG_S = 150  # first call per case includes an XLA compile (~30-60 s
+# on this platform); a genuine DMA hang sleeps far past this
 
 
 def main():
