@@ -300,3 +300,31 @@ def test_checkpoint_without_gpos_bucket_rebuilds(tmp_path):
     assert [(h.name, h.matches, h.fragments) for h in got] == [
         (h.name, h.matches, h.fragments) for h in expected
     ]
+
+
+def test_session_warmup_api():
+    """`ShardedSession.warmup` compiles the requested fragment buckets
+    ahead of time and returns per-bucket seconds; queries after warmup
+    reuse the compiled program (no new variants)."""
+    from pyfastani_tpu.parallel.sharded import ShardedSession
+
+    rng = np.random.default_rng(71)
+    refs = [_rand_genome(rng, n) for n in (30_000, 24_000)]
+    query = _mutate(rng, refs[0], 0.03)
+
+    sk = Sketch(backend="numpy")
+    for i, r in enumerate(refs):
+        sk.add_genome(f"g{i}", r)
+    mapper = sk.index()
+
+    sess = ShardedSession(
+        mapper, make_mesh(1, 1),
+        hmax=512, ivmax=16, cmax=128, rmax=384, t_chunks=52, bin_max=64,
+        smax=256,
+    )
+    rep = sess.warmup([10])
+    assert rep and all(v >= 0 for v in rep.values())
+    variants = sess.stats["compiled_variants"]
+    hits = sess.query([query])
+    assert hits and hits[0].name == "g0"
+    assert sess.stats["compiled_variants"] == variants

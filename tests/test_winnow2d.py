@@ -111,3 +111,21 @@ def test_device_long_sequence_matches_host():
         h1, p1 = winnow_long_sequence(data, 16, 24, False, chunk=1 << 14)
         assert np.array_equal(h0, h1)
         assert np.array_equal(p0, p1)
+
+
+def test_winnow_sequence_device_wrapper():
+    """`_engine_jax.winnow_sequence_device` (the device ingest wrapper for
+    device-resident pipelines) matches the host winnow bitwise."""
+    import numpy as np
+
+    from pyfastani_tpu.models import _engine_jax
+    from pyfastani_tpu.models._engine_np import winnow_sequence
+    from pyfastani_tpu.models._params import Parameters
+
+    rng = np.random.default_rng(11)
+    data = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=30_000)
+    params = Parameters(kmer_size=16, window_size=24)
+    dh, dp = _engine_jax.winnow_sequence_device(data, params)
+    hh, hp = winnow_sequence(data, params)
+    assert np.array_equal(np.asarray(dh), hh)
+    assert np.array_equal(np.asarray(dp), hp)
